@@ -1,13 +1,521 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Article
+import graft.functions.TextFunctions
+import graft.graph.GraphMaterialize
+import graft.ner.AliasTrieScorer
+import graft.ops.{Ann, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.pipeline.KgPipeline
+import graft.synth.Synth
+
+/** Driver contract — SURVEY.md §2 operator coverage, one entry per
+  * operator family, each oracle-checked against DuckDB where ANSI SQL can
+  * express the semantics (non-SQL ops — the NER pipeline, LSH internals,
+  * media decode — are rows-only checked and spec-tested instead).
+  *
+  * Numeric-determinism discipline for the oracle hash compare: every
+  * floating aggregate goes through exact decimal arithmetic
+  * (`cast(decimal) → sum → cast(double)`), so the result is independent of
+  * partitioning/accumulation order on BOTH engines; plain double sums
+  * would differ in final ulps between any two engines (and any two runs).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the KG pipeline end-to-end on a deterministic synthetic
+    * corpus (articles → NER → link → triples). Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val articles = Synth.articles(spark, 1000, seed = 42L, partitions = 8)
+    KgPipeline.triples(articles, new AliasTrieScorer, numPartitions = 8).toDF()
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Synthetic KG corpus used by the kg_* queries (size fixed, independent
+    * of sfDir — the corpus is the `input_hint` table, not TPC-H). */
+  private def kgArticles(s: SparkSession) = Synth.articles(s, 2000, 42L, 16)
+  private def kgMentions(s: SparkSession) =
+    KgPipeline.mentions(kgArticles(s), new AliasTrieScorer, numPartitions = 16)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (SURVEY §2.6, A1/A6) ----
+    "q01_pricing_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"),
+          sum(dec2(col("l_discount"))).cast("double").as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // F5-style derived projection + group (year/decade arithmetic)
+    "q02_orders_by_year" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .withColumn("order_decade", TextFunctions.decadeOf(col("order_year")))
+        .groupBy(col("order_year"), col("order_decade"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+    }),
+    // J1-style dimension join chain (broadcast dims)
+    "q03_region_revenue" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val customer = tbl(s, dir, "customer")
+      val nation = broadcast(tbl(s, dir, "nation"))
+      val region = broadcast(tbl(s, dir, "region"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+    }),
+    // J4 left anti-join (customers with no 1995 orders)
+    "q04_customers_no_orders" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer")
+      val orders95 = tbl(s, dir, "orders")
+        .where(year(col("o_orderdate")) === 1995)
+      customer
+        .join(orders95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+    // U4 semi-join + broadcast dim
+    "q05_suppliers_shipping" -> ((s, dir) => {
+      val supplier = tbl(s, dir, "supplier")
+      val nation = broadcast(tbl(s, dir, "nation"))
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      supplier
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"))
+    }),
+    // T1 top-k (TakeOrderedAndProject — no global sort)
+    "q06_top_parts" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("n_items").desc, col("l_partkey").asc)
+        .limit(50)
+    }),
+    // A7 ratio-of-group-total + 2.10 row_number window
+    "q07_acctbal_share" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byNation = Window.partitionBy(col("c_nationkey"))
+      val rankW = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      tbl(s, dir, "customer")
+        .withColumn("nation_total",
+          sum(dec2(col("c_acctbal"))).over(byNation).cast("double"))
+        .withColumn("share", round(col("c_acctbal") / col("nation_total"), 6))
+        .withColumn("rn", row_number().over(rankW))
+        .select(col("c_custkey"), col("c_nationkey"), col("share"), col("rn"))
+    }),
+    // A3 pivot
+    "q08_year_status_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+        .groupBy(col("order_year"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P"))
+    }),
+    // F6-analog temporal-validity join (equi + between residual)
+    "q09_shipped_within_90d" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val orders = tbl(s, dir, "orders")
+      li.join(orders,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate").between(col("o_orderdate"),
+              col("o_orderdate") + expr("INTERVAL 90 DAYS")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // A5 co-citation self-join idiom
+    "q10_priority_cocitation" -> ((s, dir) => {
+      val base = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority")).distinct()
+      val a = base.select(col("o_custkey"), col("o_orderpriority").as("p1"))
+      val b = base.select(col("o_custkey"), col("o_orderpriority").as("p2"))
+      a.join(b, Seq("o_custkey"))
+        .where(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+    // nunique → countDistinct
+    "q11_distinct_customers" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+    }),
+    // U3 set difference
+    "q12_custkeys_1995_not_1996" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val y = (yy: Int) => orders
+        .where(year(col("o_orderdate")) === yy)
+        .select(col("o_custkey")).distinct()
+      y(1995).except(y(1996))
+    }),
+    // P1 deterministic hash-order sample
+    "q13_sample_orders" -> ((s, dir) => {
+      Sampling.deterministicSample(
+        tbl(s, dir, "orders").select(col("o_orderkey")),
+        col("o_orderkey"), 100)
+    }),
+    // P2/P5 stratified fixed-n sample
+    "q14_stratified_customers" -> ((s, dir) => {
+      Sampling.stratifiedFixedN(
+        tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("c_mktsegment"), col("c_custkey"), 5)
+    }),
+    // T2 nlargest
+    "q15_top_parts_price" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        .limit(25)
+    }),
+    // historical time bucketing (year/decade group-by analog on events)
+    "q16_events_hourly" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+    }),
+    // exact dedup groups
+    "q17_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(tbl(s, dir, "documents"))
+    }),
+    // quality scoring aggregate
+    "q18_doc_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(tbl(s, dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round(sum(col("quality").cast(DecimalType(12, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_quality"))
+    }),
+    // language-ID heuristic
+    "q19_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+    // document fingerprinting (min-md5 over char 5-grams)
+    "q20_fingerprints" -> ((s, dir) => {
+      TextAnalysis.fingerprints(tbl(s, dir, "documents"))
+    }),
+    // MinHash+LSH near-dup detection, verified with exact n-gram Jaccard.
+    // Input = documents ∪ a mutated copy (one appended token) so planted
+    // near-dup pairs exist at any sf; the oracle computes ALL pairs with
+    // j≥0.8 exactly — 16 bands × 2 rows give per-pair LSH miss probability
+    // (1-s²)^16 ≤ 8e-8 at s=0.8, so LSH+verify == exhaustive compare.
+    "q21_neardup_jaccard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qqzz")).as("text"))
+      val all = docs.unionByName(mutated)
+      val pairs = Dedup.lshCandidatePairs(all, k = 32, bands = 16, shingleN = 3)
+      Dedup.jaccardVerify(all, pairs, shingleN = 3, minJaccard = 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // brute-force cosine top-k (TakeOrderedAndProject)
+    "q22_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0)
+      Ann.topKCosine(emb, q, 10)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
+    // embedding norms per label (array HOF aggregate)
+    "q23_embedding_norms" -> ((s, dir) => {
+      tbl(s, dir, "embeddings")
+        .withColumn("norm", round(Ann.l2norm(col("embedding")), 6))
+        .groupBy(col("label").cast("int").as("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("norm").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("avg_norm"))
+    }),
+    // normalized Levenshtein (LED metric) — pure Catalyst
+    "q24_levenshtein" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_partkey"),
+          round(TextFunctions.levenshteinNorm(col("p_name"), col("p_brand")), 6)
+            .as("led"))
+    }),
+    // sessionization via lag window (exact integer microsecond gaps)
+    "q25_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      tbl(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- KG pipeline (rows-only: NER semantics are not SQL-expressible;
+    //      correctness is the P/R≥0.95 gate in the ScalaTest suite) ----
+    "kg01_mentions" -> ((s, _) => kgMentions(s).toDF()),
+    "kg02_triples" -> ((s, _) =>
+      GraphMaterialize.triples(kgMentions(s)).toDF()),
+    "kg03_yearly_edges" -> ((s, _) =>
+      GraphMaterialize.yearlyEdges(
+        GraphMaterialize.existenceFilter(
+          GraphMaterialize.analyticMentions(kgMentions(s))))),
+    "kg04_cocitation" -> ((s, _) =>
+      GraphMaterialize.coCitationEdges(
+        GraphMaterialize.analyticMentions(kgMentions(s)))),
+    "kg05_components" -> ((s, _) => {
+      val m = kgMentions(s).toDF()
+      val edges = m.select(
+        xxhash64(col("surface")).as("src"), xxhash64(col("qid")).as("dst"))
+      graft.canon.ConnectedComponents.run(edges)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+    }),
+    "kg06_media_features" -> ((s, _) =>
+      Multimodal.extractFeatures(kgArticles(s).toDF()).toDF()),
+    // near-dup internals exposed rows-only (signatures; pair logic is
+    // oracle-checked via q21)
+    "kg07_simhash" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+    }),
+    "kg08_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0)
+      Ann.topKCosineLsh(emb, q, 10, bits = 4)
+    })
+  )
+
+  /** DuckDB-runnable ANSI oracles, column-name and value aligned with the
+    * Spark results above. kg* queries are intentionally absent (rows-only
+    * check): their semantics (trie NER, LSH hashing, media decode) are not
+    * expressible in SQL — the ScalaTest suite covers them. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_orders_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         (CAST(year(o_orderdate) AS INT) // 10) * 10 AS order_decade,
+         o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2, 3""",
+    "q03_region_revenue" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q04_customers_no_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND year(o_orderdate) = 1995)
+         GROUP BY c_mktsegment""",
+    "q05_suppliers_shipping" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_suppkey = s_suppkey
+                         AND l_shipdate >= TIMESTAMP '1999-01-01')
+         GROUP BY n_name""",
+    "q06_top_parts" ->
+      """SELECT l_partkey, COUNT(*) AS n_items FROM lineitem
+         GROUP BY l_partkey ORDER BY n_items DESC, l_partkey LIMIT 50""",
+    "q07_acctbal_share" ->
+      """SELECT c_custkey, c_nationkey,
+         ROUND(c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+           OVER (PARTITION BY c_nationkey) AS DOUBLE), 6) AS share,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+         FROM customer""",
+    "q08_year_status_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1""",
+    "q09_shipped_within_90d" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey
+          AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+         GROUP BY o_orderpriority""",
+    "q10_priority_cocitation" ->
+      """WITH base AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+         SELECT a.o_orderpriority AS p1, b.o_orderpriority AS p2,
+                COUNT(*) AS n_customers
+         FROM base a JOIN base b
+           ON a.o_custkey = b.o_custkey AND a.o_orderpriority < b.o_orderpriority
+         GROUP BY 1, 2""",
+    "q11_distinct_customers" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+         COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+    "q12_custkeys_1995_not_1996" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+    "q13_sample_orders" ->
+      """SELECT o_orderkey FROM orders
+         ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100""",
+    "q14_stratified_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+           ORDER BY md5(CAST(c_custkey AS VARCHAR))) <= 5""",
+    "q15_top_parts_price" ->
+      """SELECT p_partkey, p_retailprice FROM part
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 25""",
+    "q16_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id,
+         COUNT(*) AS n_docs FROM documents GROUP BY 1""",
+    "q18_doc_quality" ->
+      """WITH q AS (
+           SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(
+               CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000
+                    THEN 0.4 ELSE 0.0 END
+               + LEAST(CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the','and','of','to','is','le','la','les','des',
+                              'est','der','die','und','das','ist','el','los',
+                              'que','las','es'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 2, 0.3)
+               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 0.3,
+             6) AS quality
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality
+         FROM q GROUP BY lang""",
+    "q19_langid" ->
+      """WITH c AS (
+           SELECT
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('the','and','of','to','is'))) AS c_en,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('le','la','les','des','est'))) AS c_fr,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('der','die','und','das','ist'))) AS c_de,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('el','los','que','las','es'))) AS c_es
+           FROM documents)
+         SELECT CASE
+             WHEN c_en >= c_fr AND c_en >= c_de AND c_en >= c_es AND c_en > 0
+               THEN 'en'
+             WHEN c_fr >= c_de AND c_fr >= c_es AND c_fr > 0 THEN 'fr'
+             WHEN c_de >= c_es AND c_de > 0 THEN 'de'
+             WHEN c_es > 0 THEN 'es'
+             ELSE 'und' END AS predicted,
+           COUNT(*) AS n_docs
+         FROM c GROUP BY 1""",
+    "q20_fingerprints" ->
+      """SELECT doc_id,
+         CASE WHEN length(text) >= 5 THEN
+           list_min(list_transform(range(0, length(text) - 4),
+             i -> md5(substring(text, CAST(i + 1 AS INT), 5))))
+         ELSE md5(text) END AS fingerprint
+         FROM documents""",
+    "q21_neardup_jaccard" ->
+      """WITH d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' qqzz' FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(string_split(text,' ')) - 2),
+               i -> string_split(text,' ')[CAST(i+1 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+2 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+3 AS INT)])) AS sh
+           FROM d)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+         FROM s a JOIN s b
+           ON a.doc_id < b.doc_id
+          AND len(a.sh) * 5 >= len(b.sh) * 4 AND len(b.sh) * 5 >= len(a.sh) * 4
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""",
+    "q22_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE)))) AS nb
+           FROM embeddings, q)
+         SELECT vec_id, ROUND(dp / (na * nb), 5) AS cosine
+         FROM d ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""",
+    "q23_embedding_norms" ->
+      """WITH n AS (
+           SELECT CAST(label AS INT) AS label,
+             ROUND(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+           FROM embeddings)
+         SELECT label, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_norm
+         FROM n GROUP BY label""",
+    "q24_levenshtein" ->
+      """SELECT p_partkey,
+         ROUND(CAST(levenshtein(regexp_replace(p_name, '[-¬]\s*', '', 'g'),
+                                regexp_replace(p_brand, '[-¬]\s*', '', 'g'))
+               AS DOUBLE)
+           / GREATEST(length(regexp_replace(p_name, '[-¬]\s*', '', 'g')),
+                      length(regexp_replace(p_brand, '[-¬]\s*', '', 'g')),
+                      1), 6) AS led
+         FROM part""",
+    "q25_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+         FROM g GROUP BY user_id"""
+  )
 }

@@ -1,0 +1,45 @@
+package graft.core
+
+/** Canonical article-id grammar codec.
+  *
+  * Reference grammar `NP-YYYY-MM-DD-e-iNNNN`
+  * (`lib/inception_preprocessing/impresso_commons_selection.py:23-53`), and
+  * the analytics derivations of `import_data.ipynb cell 7`:
+  * `newspaper = id.split("-")[0]`, `date = y-m-d`, `year`,
+  * `decade = year // 10 * 10`, `language` = trailing tag of the mention id,
+  * `country = CH if newspaper.isupper else LU`.
+  */
+object ArticleId {
+
+  final case class Parsed(
+      newspaper: String,
+      date: String,
+      year: Int,
+      decade: Int,
+      edition: String,
+      item: String
+  )
+
+  private val Re = """^([^-]+)-(\d{4})-(\d{2})-(\d{2})-([a-z])-i(\d+)$""".r
+
+  def parse(id: String): Option[Parsed] = id match {
+    case Re(np, y, m, d, e, i) =>
+      val year = y.toInt
+      Some(Parsed(np, s"$y-$m-$d", year, year / 10 * 10, e, i))
+    case _ => None
+  }
+
+  def format(np: String, year: Int, month: Int, day: Int, edition: String,
+      item: Int): String =
+    f"$np%s-$year%04d-$month%02d-$day%02d-$edition%s-i$item%04d"
+
+  /** `country = CH if uppercase newspaper else LU`
+    * (`import_data.ipynb cell 7`). */
+  def country(newspaper: String): String =
+    if (newspaper.nonEmpty && newspaper == newspaper.toUpperCase) "CH" else "LU"
+
+  /** Mention-id grammar, article-offset form
+    * (`postprocess.py:54-66`): `<url>:<l>:<r>:newsag:bert_<lang>`. */
+  def mentionId(url: String, l: Int, r: Int, lang: String): String =
+    s"$url:$l:$r:newsag:bert_$lang"
+}

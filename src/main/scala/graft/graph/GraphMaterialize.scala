@@ -1,0 +1,169 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gazetteer, Mention, Triple}
+
+/** Graph/analytics materialization (SURVEY §3.4, operators F4-F6, F8, A4,
+  * A5, J1-J2, K3).
+  *
+  * Everything here is pure Catalyst: dimension joins are broadcast (the
+  * agency table has 29 rows), heavy aggregations are partial-aggregable
+  * counts, and the only self-join (co-citation) runs on the already
+  * aggregated per-(newspaper, year, agency) table — orders of magnitude
+  * smaller than the mention table.
+  */
+object GraphMaterialize {
+
+  /** Analytic mention table: derive `(article, newspaper, date, year,
+    * decade, agency, language, country)` from the mention id/url and drop
+    * `pers.ind.articleauthor` (reference: `import_data.ipynb cell 7`,
+    * filters F4/F5). */
+  def analyticMentions(mentions: Dataset[Mention]): DataFrame = {
+    mentions.toDF()
+      .where(col("entity") =!= "pers.ind.articleauthor")
+      .withColumn("newspaper", split(col("url"), "-").getItem(0))
+      .withColumn("date",
+        concat_ws("-",
+          split(col("url"), "-").getItem(1),
+          split(col("url"), "-").getItem(2),
+          split(col("url"), "-").getItem(3)))
+      .withColumn("year", split(col("url"), "-").getItem(1).cast("int"))
+      .withColumn("decade", (col("year") / 10).cast("int") * 10)
+      .withColumn("agency",
+        regexp_replace(col("entity"), "^org\\.ent\\.pressagency\\.", ""))
+      .withColumn("country",
+        when(col("newspaper") === upper(col("newspaper")), lit("CH"))
+          .otherwise(lit("LU")))
+  }
+
+  /** Agency dimension with existence intervals
+    * (`network_analysis.ipynb cells 7-9`). */
+  def agencyDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Gazetteer.agencyMeta.toDS().toDF()
+      .select(col("agency"), col("qid"),
+        col("startYear").as("start_year"), col("endYear").as("end_year"))
+  }
+
+  /** F6: temporal-validity semi-join — keep mentions within the agency's
+    * existence interval. Broadcast equi-join + `between` residual. */
+  def existenceFilter(analytic: DataFrame): DataFrame = {
+    val dim = agencyDim(analytic.sparkSession)
+    analytic
+      .join(broadcast(dim.select(col("agency"), col("start_year"), col("end_year"))),
+        Seq("agency"), "left")
+      .where(col("year").between(
+        coalesce(col("start_year"), lit(1840)),
+        coalesce(col("end_year"), lit(2020))))
+      .drop("start_year", "end_year")
+  }
+
+  /** A4: the KG edge materialization — weighted yearly bipartite edges
+    * (`network_analysis.ipynb cell 18`). */
+  def yearlyEdges(analytic: DataFrame): DataFrame =
+    analytic
+      .groupBy(col("newspaper"), col("agency"), col("year"))
+      .agg(count(lit(1)).as("weight"), first(col("decade")).as("decade"))
+
+  /** F8: weight threshold (`network_analysis.ipynb cell 21`). */
+  def threshold(edges: DataFrame, minWeight: Long): DataFrame =
+    edges.where(col("weight") >= minWeight)
+
+  /** A5: agency-agency co-citation edges — agencies cited by the same
+    * newspaper in the same year (`network_analysis.ipynb cell 29`).
+    * Spark idiom: aggregate to (np, year, agency, n), then self-join on
+    * (np, year) with `ag1 < ag2` — the pandas Counter+combinations shape
+    * would concentrate all pairs in the driver.
+    */
+  def coCitationEdges(analytic: DataFrame): DataFrame = {
+    val perNpYear = analytic
+      .groupBy(col("newspaper"), col("year"), col("agency"))
+      .agg(count(lit(1)).as("n"))
+    val a = perNpYear.select(
+      col("newspaper"), col("year"),
+      col("agency").as("ag1"), col("n").as("n1"))
+    val b = perNpYear.select(
+      col("newspaper"), col("year"),
+      col("agency").as("ag2"), col("n").as("n2"))
+    a.join(b, Seq("newspaper", "year"))
+      .where(col("ag1") < col("ag2"))
+      .groupBy(col("ag1"), col("ag2"), col("year"))
+      .agg(count(lit(1)).as("n_newspapers"),
+        sum(least(col("n1"), col("n2"))).as("weight"))
+  }
+
+  /** Skew-aware variant of a hot-key count: salt the grouping key, partial
+    * count per (key, salt), then merge. With partial aggregation Spark
+    * already map-side-combines plain counts; the salted two-phase shape is
+    * for aggregations whose state is NOT combine-friendly per key (e.g.
+    * collect_set on Reuters-scale keys) and as the documented pattern
+    * required by the north rule. */
+  def saltedEdgeCounts(analytic: DataFrame, salts: Int = 16): DataFrame =
+    analytic
+      .withColumn("_salt", pmod(xxhash64(col("url")), lit(salts)))
+      .groupBy(col("newspaper"), col("agency"), col("year"), col("_salt"))
+      .agg(count(lit(1)).as("w"))
+      .groupBy(col("newspaper"), col("agency"), col("year"))
+      .agg(sum(col("w")).as("weight"))
+
+  /** J2: normalize yearly edge weights by per-year corpus counts
+    * (`network_analysis.ipynb cell 26`): `perc = weight / corpus * 100`. */
+  def normalizeByCorpus(edges: DataFrame, corpusCounts: DataFrame): DataFrame =
+    edges
+      .join(broadcast(corpusCounts), Seq("year"))
+      .withColumn("perc", col("weight") / col("corpus_count") * 100)
+
+  /** Triples materialization (north rule):
+    * `(article_url, mentions_agency, agency_qid)` and
+    * `(agency_qid, alias, surface_form)`. */
+  def triples(mentions: Dataset[Mention]): Dataset[Triple] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val m = mentions.toDF()
+    val mentionTriples = m
+      .where(col("qid") =!= "NIL")
+      .select(col("url").as("subj"),
+        lit("mentions_agency").as("pred"),
+        col("qid").as("obj"))
+    val aliasTriples = m
+      .where(col("qid") =!= "NIL")
+      .select(col("qid").as("subj"),
+        lit("alias").as("pred"),
+        col("surface").as("obj"))
+      .distinct()
+    mentionTriples.unionByName(aliasTriples).as[Triple]
+  }
+
+  /** K3: GEXF export — collected driver-side AFTER thresholding (graphs are
+    * ≤ thousands of edges, `network_analysis.ipynb cells 59-60`). */
+  def toGexf(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): String = {
+    val rows = edges
+      .select(col(srcCol).cast("string"), col(dstCol).cast("string"),
+        col(weightCol).cast("double"))
+      .collect()
+    val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
+    sb.append("""<gexf xmlns="http://gexf.net/1.2" version="1.2">""").append('\n')
+    sb.append("""  <graph defaultedgetype="undirected">""").append('\n')
+    sb.append("    <nodes>\n")
+    nodes.foreach { n =>
+      sb.append(s"""      <node id="${xml(n)}" label="${xml(n)}"/>""").append('\n')
+    }
+    sb.append("    </nodes>\n    <edges>\n")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      sb.append(
+        s"""      <edge id="$i" source="${xml(r.getString(0))}" target="${xml(
+            r.getString(1))}" weight="${r.getDouble(2)}"/>""").append('\n')
+    }
+    sb.append("    </edges>\n  </graph>\n</gexf>\n")
+    sb.toString
+  }
+
+  private def xml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+}

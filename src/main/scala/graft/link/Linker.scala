@@ -1,0 +1,81 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Gazetteer, Mention}
+
+/** Entity-linking / canonicalization operators (SURVEY §2.4).
+  *
+  * The gazetteer is tiny (29 agencies) so every link is a broadcast
+  * lookup — either a `typedLit` map probe (pure Catalyst, codegen'd) or a
+  * broadcast hash join; there is never a big-big join in this layer.
+  */
+object Linker {
+
+  /** L1: QID re-link pass (parity with `postprocess.py:54-66`): qid is
+    * re-resolved from the gazetteer off the fine label's last dot segment;
+    * `articleauthor`/`unk` stay NIL. Pure Catalyst map probe. */
+  def relink(mentions: DataFrame): DataFrame = {
+    val qidMap = typedLit(Gazetteer.WikidataIdsLower)
+    val fine = lower(element_at(split(col("entity"), "\\."), -1))
+    mentions.withColumn(
+      "qid",
+      when(fine.isin("articleauthor", "unk"), lit("NIL"))
+        .otherwise(coalesce(qidMap(fine), lit("NIL"))))
+  }
+
+  /** L3: alias normalization with mixed-collection explode
+    * (`preprocessing.ipynb cells 2,5`): a raw collection name maps to one
+    * canonical agency or explodes to several (`afpreuters → [AFP,Reuters]`).
+    * Input column `raw` → output rows with column `agency`. */
+  def normalizeAliases(df: DataFrame, raw: String): DataFrame = {
+    val single = typedLit(Gazetteer.AliasToCanonical)
+    val mixed = typedLit(Gazetteer.MixedAliases.map { case (k, v) => k -> v })
+    df.withColumn(
+        "_agencies",
+        coalesce(
+          mixed(lower(col(raw))),
+          array(coalesce(single(col(raw)), col(raw)))))
+      .withColumn("agency", explode(col("_agencies")))
+      .drop("_agencies")
+  }
+
+  /** L2: surface occurrence search — every occurrence of each mention's
+    * surface in its article text becomes a mention
+    * (`newsagency_ner.py:73-91,132-147`: `re.finditer(re.escape(surface))`).
+    * Implemented as a typed flatMap over (mention, text) pairs; the caller
+    * joins mentions back to articles first (url-partitioned equi-join).
+    */
+  def expandOccurrences(
+      mentions: Dataset[Mention],
+      articleText: DataFrame // (url, text)
+  ): Dataset[Mention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    mentions
+      .join(articleText, "url")
+      .as[(String, String, String, String, String, Int, Int, Int, Double, String, String, String)]
+      .flatMap { case (url, entity, surface, name, qid, sentIdx, l, r, conf, lang, _, text) =>
+        occurrences(text, surface).map { case (s, e) =>
+          Mention(url, entity, surface, name, qid, sentIdx, s, e, conf, lang,
+            graft.core.ArticleId.mentionId(url, s, e, lang))
+        }
+      }
+      .dropDuplicates("id")
+  }
+
+  /** All (start, end) occurrences of `needle` in `hay` (literal match). */
+  def occurrences(hay: String, needle: String): Seq[(Int, Int)] = {
+    if (needle.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[(Int, Int)]
+    var from = 0
+    var i = hay.indexOf(needle, from)
+    while (i >= 0) {
+      out += ((i, i + needle.length))
+      from = i + 1
+      i = hay.indexOf(needle, from)
+    }
+    out.result()
+  }
+}

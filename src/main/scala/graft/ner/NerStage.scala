@@ -1,0 +1,103 @@
+package graft.ner
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Article, ArticleId, Gazetteer, Mention}
+import graft.text.{PunctTokenizer, Segmenter}
+
+/** The flagship dataflow stage: `Dataset[Article] → Dataset[Mention]` via
+  * `mapPartitions` with an executor-resident scorer (SURVEY M1-M10;
+  * reference: `cli_tagger.py:108-239,294`).
+  *
+  * Scale design:
+  *  - upstream filters (`lang`, `tp`) are plain Catalyst predicates so they
+  *    push down to the scan — the reference filters post-parse in Python
+  *    closures (`cli_tagger.py:279-282`), we do not reproduce that;
+  *  - the stage is a narrow map over url-hash-partitioned input (the caller
+  *    repartitions by `xxhash64(url)` per the north rule), no shuffle here;
+  *  - mentions are never collected to the driver (the reference's
+  *    `.compute()` at `cli_tagger.py:294-300` is the anti-pattern);
+  *  - sentences are scored in fixed-size batches to amortize model-call
+  *    overhead (`sentenceBatch`, analog of the TorchServe batch POST).
+  */
+object NerStage {
+
+  /** Languages the model path supports (`cli_tagger.py:132`). */
+  val SupportedLangs: Set[String] = Set("fr", "de")
+
+  /** Content types kept (`cli_tagger.py:282`). */
+  val KeptTypes: Set[String] = Set("ar", "page")
+
+  /** Catalyst-pushed row gate: F1 + F2 of SURVEY §2.2. */
+  def gate(articles: Dataset[Article]): Dataset[Article] =
+    articles.filter(
+      col("tp").isin(KeptTypes.toSeq: _*) &&
+        col("lang").isin(SupportedLangs.toSeq: _*) &&
+        col("text").isNotNull && length(col("text")) > 2)
+
+  /** Detect mentions. `numPartitions <= 0` keeps the input partitioning. */
+  def detect(
+      articles: Dataset[Article],
+      scorer: TokenScorer,
+      numPartitions: Int = -1,
+      sentenceBatch: Int = 64
+  ): Dataset[Mention] = {
+    val spark = articles.sparkSession
+    import spark.implicits._
+    val gated = gate(articles)
+    val parted =
+      if (numPartitions > 0) gated.repartition(numPartitions, xxhash64(col("url")))
+      else gated
+    parted.mapPartitions { it =>
+      it.flatMap { a => detectOne(a, scorer, sentenceBatch) }
+    }
+  }
+
+  /** Pure per-article detection — unit-testable without Spark. */
+  def detectOne(
+      a: Article,
+      scorer: TokenScorer,
+      sentenceBatch: Int = 64
+  ): Seq[Mention] = {
+    val sents = Segmenter.segmentWithOffsets(a.text)
+    val out = Seq.newBuilder[Mention]
+    sents.zipWithIndex.grouped(math.max(1, sentenceBatch)).foreach { group =>
+      val tokenized = group.map { case ((_, s), _) => PunctTokenizer.tokenize(s) }
+      val scored = scorer.scoreBatch(tokenized.map(_.map(_.text)))
+      group.zip(tokenized).zip(scored).foreach {
+        case ((((sentStart, _), sentIdx), toks), labels) =>
+          val tags = labels.map(_._1)
+          val confs = labels.map(_._2)
+          BioDecode.decode(toks, tags, confs).foreach { sp =>
+            // label postprocess: ATB→ATS typo rewrite (cli_tagger.py:191-199)
+            val entity = Gazetteer.normalizeLabel(sp.label)
+            val name = entity.split('.').last
+            val l = sentStart + sp.start
+            val r = sentStart + sp.end
+            val surface = a.text.substring(l, r)
+            // F3 post-filters (cli_tagger.py:163-166): drop single-char /
+            // pure-punctuation surfaces
+            val keep = surface.length > 1 &&
+              !(surface.length == 1 && graft.text.TextNorm.isPunct(surface.head))
+            if (keep) {
+              out += Mention(
+                url = a.url,
+                entity = entity,
+                surface = surface,
+                name = name,
+                qid = Gazetteer.qidOf(entity),
+                sentenceIdx = sentIdx,
+                lOffset = l,
+                rOffset = r,
+                confidence = sp.confidence,
+                lang = a.lang,
+                id = ArticleId.mentionId(a.url, l, r, a.lang)
+              )
+            }
+          }
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Article, Mention, Triple}
+import graft.graph.GraphMaterialize
+import graft.link.Linker
+import graft.ner.{AliasTrieScorer, NerStage, TokenScorer}
+
+/** End-to-end KG construction: articles → mentions → triples.
+  *
+  * The Spark shape of the reference's production run (SURVEY §3.1):
+  * {{{
+  * articles                                  // pruned scan
+  *   .where(lang ∈ {fr,de} && tp ∈ {ar,page})// pushed predicates (F1,F2)
+  *   .repartition(N, xxhash64(url))          // north-rule partitioning
+  *   .mapPartitions(ner)                     // M1-M10, executor singleton
+  *   → relink (L1, Catalyst map probe)
+  *   → triples / yearly edges (A4) writes    // partitioned parquet
+  * }}}
+  *
+  * Checkpoint-resume (north rule; the reference restarts per prefix dir,
+  * `cli_tagger.py:250-259`): articles are bucketed by `pmod(xxhash64(url),
+  * buckets)`; each bucket writes to its own output partition directory and
+  * a manifest row `(bucket, n_articles, n_mentions, n_triples, wall_ms)`.
+  * On restart, buckets already present in the manifest are skipped — a
+  * resumed run never recomputes finished work and per-partition lineage is
+  * queryable from the `_manifest` table.
+  */
+object KgPipeline {
+
+  final case class BucketStat(
+      bucket: Int,
+      n_articles: Long,
+      n_mentions: Long,
+      n_triples: Long,
+      wall_ms: Long
+  )
+
+  /** One-shot in-memory run (no checkpointing) — used by queries/bench. */
+  def mentions(
+      articles: Dataset[Article],
+      scorer: TokenScorer = new AliasTrieScorer,
+      numPartitions: Int = -1
+  ): Dataset[Mention] =
+    NerStage.detect(articles, scorer, numPartitions)
+
+  def triples(
+      articles: Dataset[Article],
+      scorer: TokenScorer = new AliasTrieScorer,
+      numPartitions: Int = -1
+  ): Dataset[Triple] =
+    GraphMaterialize.triples(mentions(articles, scorer, numPartitions))
+
+  /** Resumable materialization to `outDir` with per-bucket manifest.
+    * Returns stats of the buckets processed in THIS invocation. */
+  def runResumable(
+      articles: Dataset[Article],
+      outDir: String,
+      buckets: Int = 8,
+      scorer: TokenScorer = new AliasTrieScorer
+  ): Seq[BucketStat] = {
+    val spark = articles.sparkSession
+    import spark.implicits._
+
+    val manifestDir = s"$outDir/_manifest"
+    val done: Set[Int] =
+      if (Files.exists(Paths.get(manifestDir)))
+        spark.read.parquet(manifestDir).select("bucket")
+          .as[Int].collect().toSet
+      else Set.empty
+
+    val bucketed = articles
+      .withColumn("_bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+
+    val stats = (0 until buckets).filterNot(done).map { b =>
+      val t0 = System.nanoTime()
+      val part = bucketed.where(col("_bucket") === b).drop("_bucket").as[Article]
+      val ms = NerStage.detect(part, scorer).cache()
+      val nMentions = ms.count()
+      val nArticles = part.count()
+      val ts = GraphMaterialize.triples(ms)
+      ms.toDF().write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/mentions/bucket=$b")
+      ts.toDF().write.mode(SaveMode.Overwrite)
+        .partitionBy("pred")
+        .parquet(s"$outDir/triples/bucket=$b")
+      val nTriples = spark.read.parquet(s"$outDir/triples/bucket=$b").count()
+      ms.unpersist()
+      val stat = BucketStat(b, nArticles, nMentions, nTriples,
+        (System.nanoTime() - t0) / 1000000)
+      Seq(stat).toDS().write.mode(SaveMode.Append).parquet(manifestDir)
+      stat
+    }
+    stats
+  }
+
+  /** Per-partition lineage/metrics view over the manifest (north rule:
+    * "per-partition lineage + metrics"). */
+  def manifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/_manifest")
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.core.TsvToken
+
+/** CoNLL/HIPE TSV reader (SURVEY S5; reference `_read_conll`,
+  * `lib/bert_classification/dataset.py:19-118`).
+  *
+  * The format is stateful (documents delimited by `# document_id = ...`
+  * comment rows, segments by blank lines / `EndOfSentence` flags), so a
+  * line-parallel `spark.read.text` would split documents across partitions.
+  * Files are small annotation artifacts (≤ thousands of docs), so each file
+  * is read whole via the `binaryFile` source and parsed with one stateful
+  * pass per file inside `flatMap` — parallel across files, sequential
+  * within, exactly the granularity the format allows.
+  */
+object ConllTsvReader {
+
+  /** 13 columns, `dataset.py:4-16`. */
+  val Columns: Seq[String] = Seq(
+    "TOKEN", "NE-COARSE-LIT", "NE-COARSE-METO", "NE-FINE-LIT",
+    "NE-FINE-METO", "NE-FINE-COMP", "NE-NESTED", "NEL-LIT", "NEL-METO",
+    "RENDER", "SEG", "OCR-INFO", "MISC")
+
+  def read(spark: SparkSession, paths: String*): Dataset[TsvToken] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(paths: _*)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (_, bytes) =>
+        parse(new String(bytes, "UTF-8"))
+      }
+  }
+
+  /** Pure parser — unit-testable without Spark. */
+  def parse(content: String): Seq[TsvToken] = {
+    val out = Seq.newBuilder[TsvToken]
+    var docId: String = ""
+    var segId: Long = 0L
+    var tokIdx: Int = 0
+    var lastWasBoundary = true
+    content.linesIterator.foreach { line =>
+      if (line.startsWith("#")) {
+        // `# key = value` metadata rows (convert_xmi2clef_format.py:417-442)
+        val kv = line.drop(1).split("=", 2)
+        if (kv.length == 2 && kv(0).trim == "document_id") {
+          docId = kv(1).trim
+          segId = 0L
+          tokIdx = 0
+          lastWasBoundary = true
+        }
+      } else if (line.trim.isEmpty) {
+        if (!lastWasBoundary) { segId += 1; lastWasBoundary = true }
+      } else {
+        val cols = line.split("\t", -1)
+        def at(i: Int): String = if (i < cols.length) cols(i) else ""
+        val seg = at(10)
+        val eos = seg.contains("EndOfSentence")
+        out += TsvToken(
+          docId = docId,
+          segId = segId,
+          tokIdx = tokIdx,
+          token = at(0),
+          neCoarseLit = at(1),
+          neFineLit = at(3),
+          nelLit = at(7),
+          misc = at(12),
+          isEndOfSentence = eos)
+        tokIdx += 1
+        lastWasBoundary = false
+        if (eos) { segId += 1; lastWasBoundary = true }
+      }
+    }
+    out.result()
+  }
+
+  /** Collect BIO-labeled spans per (doc, column) from the token stream —
+    * gold spans for the scorer (analog of `collect_named_entities`,
+    * `HIPE-scorer/hipe_evaluation/utils.py:272-331`). */
+  def goldSpans(tokens: Seq[TsvToken]): Seq[graft.core.Span] = {
+    val out = Seq.newBuilder[graft.core.Span]
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      val lbl = tokens(i).neFineLit
+      if (lbl.startsWith("B-")) {
+        val t = lbl.substring(2)
+        var j = i + 1
+        while (j < n && tokens(j).neFineLit == "I-" + t) j += 1
+        out += graft.core.Span(t, tokens(i).tokIdx, tokens(j - 1).tokIdx,
+          tokens.slice(i, j).map(_.token).mkString(" "))
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+}

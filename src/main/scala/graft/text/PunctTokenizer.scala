@@ -1,0 +1,40 @@
+package graft.text
+
+/** The reference's punctuation tokenizer: every `string.punctuation` char is
+  * padded with spaces, then the string is whitespace-split (3 identical
+  * copies in the reference: `cli_tagger_no_torch_serve.py:158-161`,
+  * `model_handler.py:24-28`, `single_task/newsagency_ner.py:60-64`).
+  *
+  * This implementation produces the same token stream AND true char offsets
+  * into the input (the reference recovers offsets after the fact via
+  * `re.finditer`, `newsagency_ner.py:73-91`; we carry them through instead,
+  * so `input.substring(start, end) == token` by construction).
+  */
+object PunctTokenizer {
+
+  final case class Token(text: String, start: Int, end: Int)
+
+  def tokenize(s: String): IndexedSeq[Token] = {
+    val out = IndexedSeq.newBuilder[Token]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (TextNorm.isPunct(c)) {
+        out += Token(c.toString, i, i + 1)
+        i += 1
+      } else {
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace && !TextNorm.isPunct(s.charAt(i)))
+          i += 1
+        out += Token(s.substring(start, i), start, i)
+      }
+    }
+    out.result()
+  }
+
+  /** Plain token strings, byte-compatible with the reference's
+    * `tokenize(text)` list. */
+  def tokens(s: String): IndexedSeq[String] = tokenize(s).map(_.text)
+}
