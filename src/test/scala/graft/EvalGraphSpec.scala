@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.eval.SpanEval
+import graft.graph.GraphMaterialize
+import graft.canon.ConnectedComponents
+
+class EvalGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def spans(rows: (String, String, Int, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("url", "entity", "lOffset", "rOffset")
+  }
+
+  // --- SpanEval ---
+
+  test("strict scoring: exact boundaries + type") {
+    val gold = spans(("u1", "A", 0, 5), ("u1", "B", 10, 15), ("u2", "A", 0, 3))
+    val pred = spans(("u1", "A", 0, 5), ("u1", "B", 11, 15), ("u3", "A", 0, 3))
+    val m = SpanEval.score(pred, gold, fuzzy = false)
+    assert(m.tp == 1 && m.fp == 2 && m.fn == 2)
+  }
+
+  test("fuzzy scoring: overlap + type, 1:1 matching") {
+    val gold = spans(("u1", "A", 0, 5), ("u1", "B", 10, 15), ("u2", "A", 0, 3))
+    val pred = spans(
+      ("u1", "A", 1, 4),   // overlap match
+      ("u1", "B", 14, 20), // overlap match (boundary-sloppy)
+      ("u1", "B", 10, 12), // second pred on same gold: must NOT double-count
+      ("u2", "B", 0, 3))   // type mismatch
+    val m = SpanEval.score(pred, gold, fuzzy = true)
+    assert(m.tp == 2, s"tp=${m.tp}")
+    assert(m.fp == 2 && m.fn == 1)
+  }
+
+  test("metrics arithmetic") {
+    val m = SpanEval.Metrics(8, 2, 2)
+    assert(m.precision == 0.8 && m.recall == 0.8)
+    assert(math.abs(m.f1 - 0.8) < 1e-12)
+    assert(SpanEval.Metrics(0, 0, 0).f1 == 0.0)
+  }
+
+  // --- graph materialization ---
+
+  private def mentionDf(rows: (String, String)*): DataFrame = {
+    // (url, agencyEntity)
+    import spark.implicits._
+    rows.toSeq.toDF("url", "entity")
+      .withColumn("surface", lit("x"))
+      .withColumn("qid", lit("Q1"))
+  }
+
+  test("analytic mention derivation: newspaper/year/decade/country/agency") {
+    val df = GraphMaterialize.analyticMentions(
+      sparkMentions(("GDL-1936-05-02-a-i0001", "org.ent.pressagency.Havas"),
+        ("luxwort-1987-12-31-a-i0002", "org.ent.pressagency.Reuters"),
+        ("GDL-1936-05-02-a-i0003", "pers.ind.articleauthor")))
+    val rows = df.select("newspaper", "year", "decade", "country", "agency")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(rows == Set(
+      ("GDL", 1936, 1930, "CH", "Havas"),
+      ("luxwort", 1987, 1980, "LU", "Reuters")))
+  }
+
+  private def sparkMentions(rows: (String, String)*) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (url, ent) =>
+      graft.core.Mention(url, ent, "x", ent.split('.').last,
+        graft.core.Gazetteer.qidOf(ent), 0, 0, 1, 0.9, "fr",
+        s"$url:0:1:newsag:bert_fr")
+    })
+  }
+
+  test("existence filter drops out-of-interval mentions (Havas post-1944)") {
+    val analytic = GraphMaterialize.analyticMentions(sparkMentions(
+      ("GDL-1936-05-02-a-i0001", "org.ent.pressagency.Havas"),
+      ("GDL-1950-05-02-a-i0002", "org.ent.pressagency.Havas"),
+      ("GDL-1950-05-02-a-i0003", "org.ent.pressagency.Reuters")))
+    val kept = GraphMaterialize.existenceFilter(analytic)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set("GDL-1936-05-02-a-i0001", "GDL-1950-05-02-a-i0003"))
+  }
+
+  test("yearly edges weight counting + threshold + salted variant parity") {
+    val analytic = GraphMaterialize.analyticMentions(sparkMentions(
+      ("GDL-1936-05-02-a-i0001", "org.ent.pressagency.Havas"),
+      ("GDL-1936-06-02-a-i0002", "org.ent.pressagency.Havas"),
+      ("GDL-1936-07-02-a-i0003", "org.ent.pressagency.Reuters"),
+      ("JDG-1936-05-02-a-i0004", "org.ent.pressagency.Havas")))
+    val edges = GraphMaterialize.yearlyEdges(analytic)
+    val w = edges.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(w(("GDL", "Havas", 1936)) == 2)
+    assert(w(("GDL", "Reuters", 1936)) == 1)
+    assert(GraphMaterialize.threshold(edges, 2).count() == 1)
+    // salted two-phase count equals the direct count
+    val salted = GraphMaterialize.saltedEdgeCounts(analytic)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(salted == w)
+  }
+
+  test("co-citation edges: same newspaper+year, ordered pair") {
+    val analytic = GraphMaterialize.analyticMentions(sparkMentions(
+      ("GDL-1936-05-02-a-i0001", "org.ent.pressagency.Havas"),
+      ("GDL-1936-06-02-a-i0002", "org.ent.pressagency.Reuters"),
+      ("GDL-1936-06-03-a-i0003", "org.ent.pressagency.Reuters"),
+      ("JDG-1950-05-02-a-i0004", "org.ent.pressagency.Reuters")))
+    val cc = GraphMaterialize.coCitationEdges(analytic).collect()
+    assert(cc.length == 1)
+    val r = cc.head
+    assert(r.getString(0) == "Havas" && r.getString(1) == "Reuters" &&
+      r.getInt(2) == 1936)
+    assert(r.getLong(3) == 1) // one newspaper co-cites
+    assert(r.getLong(4) == 1) // min(1 Havas, 2 Reuters)
+  }
+
+  test("GEXF export is well-formed and complete") {
+    import spark.implicits._
+    val edges = Seq(("GDL", "Havas", 3.0), ("GDL", "Reuters", 5.0))
+      .toDF("src", "dst", "weight")
+    val gexf = GraphMaterialize.toGexf(edges, "src", "dst", "weight")
+    assert(gexf.contains("<gexf"))
+    assert(gexf.contains("""<node id="GDL""""))
+    assert(gexf.contains("""<node id="Havas""""))
+    assert(gexf.contains("""weight="5.0""""))
+    assert(gexf.split("<edge ").length == 3)
+  }
+
+  // --- connected components ---
+
+  test("CC finds components on a known graph") {
+    import spark.implicits._
+    // component {1,2,3,4} (star around 1) + {10,11} + isolated-pair {20,21}
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("src", "dst")
+    val labels = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L && labels(4L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+  }
+
+  test("CC is edge-order and direction invariant") {
+    import spark.implicits._
+    val e1 = Seq((5L, 9L), (9L, 7L), (2L, 1L)).toDF("src", "dst")
+    val e2 = Seq((7L, 9L), (1L, 2L), (9L, 5L)).toDF("src", "dst")
+    val l1 = ConnectedComponents.run(e1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l2 = ConnectedComponents.run(e2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l1 == l2)
+    assert(l1.count(_._2 == 5L) == 3)
+  }
+
+  test("CC handles a longer path (diameter > 2)") {
+    import spark.implicits._
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val labels = ConnectedComponents.run(chain).collect()
+    assert(labels.forall(_.getLong(1) == 0L))
+    assert(labels.length == 12)
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ann, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.functions.TextFunctions
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // --- dedup ---
+
+  test("exact dedup groups and representative selection") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+    val groups = Dedup.exactGroups(d).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(1L -> 3L, 3L -> 1L))
+    val kept = Dedup.exactDedup(d).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates; jaccard verified exactly") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val d = docs(
+      (1L, base),
+      (2L, base + " tail"),            // near-dup of 1 (j = 14/15)
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15"))
+    val pairs = Dedup.lshCandidatePairs(d, k = 32, bands = 16, shingleN = 3)
+    val verified = Dedup.jaccardVerify(d, pairs, shingleN = 3, minJaccard = 0.8)
+      .collect()
+    assert(verified.length == 1)
+    val r = verified.head
+    assert(Set(r.getLong(0), r.getLong(1)) == Set(1L, 2L))
+    assert(math.abs(r.getDouble(2) - 14.0 / 15.0) < 1e-12)
+  }
+
+  test("simhash: identical texts share signature, near-identical are close") {
+    val a = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
+    val b = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
+    val c = Dedup.simhash64Scala("the quick brown fox jumps over the lazy cat again")
+    val far = Dedup.simhash64Scala("completely different words entirely here now ok")
+    assert(a == b)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, c) < ham(a, far), s"${ham(a, c)} vs ${ham(a, far)}")
+  }
+
+  test("simhash candidates via block keys find near-identical docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      (1L, base),
+      (2L, base.replace("tok7", "tok7x")),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+    val cands = Dedup.simhashCandidates(d, blocks = 4)
+      .where(col("hamming") <= 16)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1)))
+    assert(cands.contains(Set(1L, 2L)))
+  }
+
+  // --- ANN ---
+
+  test("brute-force cosine top-k matches a driver-side reference computation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toSeq
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expected = vecs.map { case (i, v) => (i, cos(v.toSeq, q)) }
+      .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+    val got = Ann.topKCosine(df, q, 5).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.head == 0L) // self-match first
+  }
+
+  test("LSH ANN: query's own bucket contains it; recall measured vs brute force") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 400L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toSeq
+    val lsh = Ann.topKCosineLsh(df, q, 10, bits = 3).collect().map(_.getLong(0))
+    assert(lsh.head == 0L)
+    val brute = Ann.topKCosine(df, q, 10).collect().map(_.getLong(0)).toSet
+    val recall = lsh.count(brute).toDouble / 10
+    info(f"LSH@3bits recall vs brute force: $recall%.2f")
+    assert(recall >= 0.1) // self-match always survives; rest is probabilistic
+  }
+
+  // --- text analysis ---
+
+  test("langId picks the dominant marker language with priority tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      "the cat and the dog of the house",
+      "le chat et la maison des gens est grande",
+      "der hund und die katze das ist gut",
+      "el gato los perros que las casas es",
+      "xx yy zz").toDF("text")
+    val got = d.select(TextAnalysis.langId(col("text")).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "fr", "de", "es", "und"))
+  }
+
+  test("quality features: token counts and ratios") {
+    val d = docs((1L, "the the the the"), (2L, "a b c d e f g h i j k l"))
+    val q = TextAnalysis.qualityFeatures(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Int]("n_tokens") == 4)
+    assert(q(1L).getAs[Double]("stopword_ratio") == 1.0)
+    assert(q(1L).getAs[Double]("distinct_token_ratio") == 0.25)
+    assert(q(2L).getAs[Double]("distinct_token_ratio") == 1.0)
+  }
+
+  test("fingerprint is deterministic and length-guarded") {
+    val d = docs((1L, "abcdefgh"), (2L, "abc"), (3L, "abcdefgh"))
+    val fp = TextAnalysis.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(2L).length == 32) // md5 of whole short text
+  }
+
+  // --- sampling determinism ---
+
+  test("deterministic sample is partitioning-invariant") {
+    import spark.implicits._
+    val d1 = (0L until 1000L).toDF("k")
+    val d2 = d1.repartition(17)
+    val s1 = Sampling.deterministicSample(d1, col("k"), 50)
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.deterministicSample(d2, col("k"), 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.sorted == s2.sorted)
+  }
+
+  test("stratified fixed-n respects per-group quota") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    val s = Sampling.stratifiedFixedN(d, col("g"), col("k"), 7)
+    val counts = s.groupBy("g").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7) && counts.length == 3)
+  }
+
+  test("train/dev/test split is stable and roughly proportioned") {
+    import spark.implicits._
+    val d = (0L until 5000L).toDF("k")
+    val split = Sampling.trainDevTestSplit(d, col("k"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 3500 && counts("train") < 4500)
+    assert(counts("dev") > 250 && counts("dev") < 750)
+    // stability across repartition
+    val again = Sampling.trainDevTestSplit(d.repartition(13), col("k"))
+    assert(split.exceptAll(again).count() == 0)
+  }
+
+  // --- scalar functions ---
+
+  test("normalized Levenshtein with hyphen cleaning") {
+    import spark.implicits._
+    val d = Seq(("Reu-ters", "Reuters"), ("Havas", "Havaas"), ("abc", "abc"))
+      .toDF("a", "b")
+    val led = d.select(TextFunctions.levenshteinNorm(col("a"), col("b")).as("led"))
+      .collect().map(_.getDouble(0))
+    assert(led(0) == 0.0) // hyphen removed → identical
+    assert(math.abs(led(1) - 1.0 / 6.0) < 1e-12)
+    assert(led(2) == 0.0)
+  }
+
+  // --- multimodal plumbing ---
+
+  test("media feature extraction: deterministic, fixed dim, batch-shaped") {
+    import spark.implicits._
+    val d = Seq(
+      ("u1", "hello world".getBytes("UTF-8")),
+      ("u2", Array.empty[Byte]),
+      ("u3", "hello world".getBytes("UTF-8"))).toDF("url", "html")
+    val f = Multimodal.extractFeatures(d).collect().map(m => m.url -> m).toMap
+    assert(f("u1").features.length == Multimodal.FakeDecoder.FeatureDim)
+    assert(f("u1").byte_entropy == f("u3").byte_entropy)
+    assert(f("u1").features.toSeq == f("u3").features.toSeq)
+    assert(f("u2").n_bytes == 0 && f("u2").byte_entropy == 0.0)
+    assert(f("u1").byte_entropy > 0)
+  }
+}
