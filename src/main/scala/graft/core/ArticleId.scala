@@ -30,8 +30,20 @@ object ArticleId {
   }
 
   def format(np: String, year: Int, month: Int, day: Int, edition: String,
-      item: Int): String =
-    f"$np%s-$year%04d-$month%02d-$day%02d-$edition%s-i$item%04d"
+      item: Int): String = {
+    // hot path in the corpus generator — avoid java.util.Formatter
+    val sb = new java.lang.StringBuilder(np.length + 20)
+    sb.append(np).append('-').append(year).append('-')
+    if (month < 10) sb.append('0')
+    sb.append(month).append('-')
+    if (day < 10) sb.append('0')
+    sb.append(day).append('-').append(edition).append("-i")
+    if (item < 1000) sb.append('0')
+    if (item < 100) sb.append('0')
+    if (item < 10) sb.append('0')
+    sb.append(item)
+    sb.toString
+  }
 
   /** `country = CH if uppercase newspaper else LU`
     * (`import_data.ipynb cell 7`). */

@@ -117,23 +117,30 @@ object GraphMaterialize {
 
   /** Triples materialization (north rule):
     * `(article_url, mentions_agency, agency_qid)` and
-    * `(agency_qid, alias, surface_form)`. */
+    * `(agency_qid, alias, surface_form)`, with set semantics (a KG edge
+    * set; occurrence weights live in [[yearlyEdges]]).
+    *
+    * Single-pass plan: each mention explodes into its two triples and one
+    * `distinct` dedupes globally. The union-of-two-projections shape would
+    * duplicate the NER subtree in the plan (Spark recomputes a shared
+    * child per union branch unless cached) — at 100 TB that is the whole
+    * inference cost paid twice. */
   def triples(mentions: Dataset[Mention]): Dataset[Triple] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val m = mentions.toDF()
-    val mentionTriples = m
+    mentions.toDF()
       .where(col("qid") =!= "NIL")
-      .select(col("url").as("subj"),
-        lit("mentions_agency").as("pred"),
-        col("qid").as("obj"))
-    val aliasTriples = m
-      .where(col("qid") =!= "NIL")
-      .select(col("qid").as("subj"),
-        lit("alias").as("pred"),
-        col("surface").as("obj"))
+      .select(explode(array(
+        struct(col("url").as("subj"),
+          lit("mentions_agency").as("pred"),
+          col("qid").as("obj")),
+        struct(col("qid").as("subj"),
+          lit("alias").as("pred"),
+          col("surface").as("obj")))).as("t"))
+      .select(col("t.subj").as("subj"), col("t.pred").as("pred"),
+        col("t.obj").as("obj"))
       .distinct()
-    mentionTriples.unionByName(aliasTriples).as[Triple]
+      .as[Triple]
   }
 
   /** K3: GEXF export — collected driver-side AFTER thresholding (graphs are

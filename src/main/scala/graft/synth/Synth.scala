@@ -103,7 +103,11 @@ object Synth {
       if (rng.nextInt(10) < 8) SwissPapers(rng.nextInt(SwissPapers.length))
       else LuxPapers(rng.nextInt(LuxPapers.length))
     val url = ArticleId.format(np, year, month, day, "a", (i % 10000).toInt)
-    val ts = Timestamp.valueOf(f"$year%04d-$month%02d-$day%02d 06:00:00")
+    // epoch-based construction: Timestamp.valueOf(String) goes through
+    // Calendar/TimeZone and serializes badly across threads
+    val ts = new Timestamp(
+      java.time.LocalDate.of(year, month, day).toEpochDay * 86400000L +
+        6L * 3600000L)
 
     if (shortText) {
       val t = if (rng.nextBoolean()) "" else " "
@@ -117,52 +121,62 @@ object Synth {
     // gate must drop them → gold only for gate-passing rows)
     val nMentions = if (rng.nextInt(100) < 30) 1 + rng.nextInt(3) else 0
     val nSentences = 3 + rng.nextInt(5)
-    val mentionAt = rng.shuffle((0 until nSentences).toList).take(nMentions).toSet
+    // distinct mention sentence slots without a shuffle allocation
+    var mentionMask = 0
+    var picked = 0
+    while (picked < nMentions) {
+      val slot = rng.nextInt(nSentences)
+      if ((mentionMask & (1 << slot)) == 0) {
+        mentionMask |= (1 << slot); picked += 1
+      }
+    }
 
-    val sb = new StringBuilder
+    val sb = new StringBuilder(256)
     val gold = Seq.newBuilder[GoldMention]
     val gatePasses =
       (tp == "ar" || tp == "page") && (lang == "fr" || lang == "de")
 
+    def appendFiller(capitalizeFirst: Boolean, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        val w = filler(rng.nextInt(filler.length))
+        if (i == 0 && capitalizeFirst) {
+          sb.append(Character.toUpperCase(w.charAt(0))).append(w, 1, w.length)
+        } else sb.append(w)
+        i += 1
+      }
+    }
+
     var s = 0
     while (s < nSentences) {
       if (s > 0) sb.append(' ')
-      val sentStart = sb.length
-      if (mentionAt(s)) {
+      if ((mentionMask & (1 << s)) != 0) {
         val agency = SkewTable(rng.nextInt(SkewTable.length))
         val variantRoll = rng.nextInt(100)
         val variants = KnownVariants.getOrElse(agency, Seq.empty)
-        val (surface, known) =
+        val surface =
           if (variantRoll < 92 || variants.isEmpty)
-            if (variantRoll >= 98) (corrupt(agency), false)
-            else (agency, true)
-          else if (variantRoll < 98)
-            (variants(rng.nextInt(variants.length)), true)
-          else (corrupt(agency), false)
-        val prefixWords =
-          capitalize(filler(rng.nextInt(filler.length))) +:
-            Seq.fill(2 + rng.nextInt(3))(filler(rng.nextInt(filler.length))) :+
-            leads(rng.nextInt(leads.length))
-        val suffixWords = Seq.fill(2 + rng.nextInt(4))(filler(rng.nextInt(filler.length)))
-        sb.append(prefixWords.mkString(" ")).append(' ')
+            if (variantRoll >= 98) corrupt(agency) else agency
+          else if (variantRoll < 98) variants(rng.nextInt(variants.length))
+          else corrupt(agency)
+        appendFiller(capitalizeFirst = true, 3 + rng.nextInt(3))
+        sb.append(' ').append(leads(rng.nextInt(leads.length))).append(' ')
         val l = sb.length
         sb.append(surface)
         val r = sb.length
-        sb.append(' ').append(suffixWords.mkString(" ")).append('.')
+        sb.append(' ')
+        appendFiller(capitalizeFirst = false, 2 + rng.nextInt(4))
+        sb.append('.')
         if (gatePasses) {
           gold += GoldMention(
             url, l, r, surface,
             s"org.ent.pressagency.$agency",
             Gazetteer.WikidataIds.getOrElse(agency, "NIL"))
         }
-        // `known` only affects expected recall, recorded implicitly
-        locally(known)
-        locally(sentStart)
       } else {
-        val words =
-          capitalize(filler(rng.nextInt(filler.length))) +:
-            Seq.fill(5 + rng.nextInt(6))(filler(rng.nextInt(filler.length)))
-        sb.append(words.mkString(" ")).append('.')
+        appendFiller(capitalizeFirst = true, 6 + rng.nextInt(6))
+        sb.append('.')
       }
       s += 1
     }

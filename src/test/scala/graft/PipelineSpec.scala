@@ -74,16 +74,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("triples: one mentions_agency row per linked mention + distinct aliases") {
+  test("triples: set semantics over linked mentions + distinct aliases") {
     val articles = Synth.articles(spark, 1000, 42L, 8)
     val mentions = KgPipeline.mentions(articles, new AliasTrieScorer, 8)
     val t = GraphMaterialize.triples(mentions).cache()
-    val nLinked = mentions.toDF().where(col("qid") =!= "NIL").count()
-    assert(t.filter(col("pred") === "mentions_agency").count() == nLinked)
+    val linked = mentions.toDF().where(col("qid") =!= "NIL").cache()
+    val nLinkedPairs = linked.select("url", "qid").distinct().count()
+    assert(t.filter(col("pred") === "mentions_agency").count() == nLinkedPairs)
     val aliases = t.filter(col("pred") === "alias")
-    assert(aliases.count() == aliases.distinct().count())
+    assert(aliases.count() ==
+      linked.select("qid", "surface").distinct().count())
     assert(aliases.count() > 0)
-    t.unpersist()
+    // no NIL subjects/objects ever reach the graph
+    assert(t.filter(col("obj") === "NIL" || col("subj") === "NIL").count() == 0)
+    linked.unpersist(); t.unpersist()
   }
 
   test("resumable run: manifest skips finished buckets, output equals one-shot") {
