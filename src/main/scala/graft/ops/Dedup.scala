@@ -41,25 +41,88 @@ object Dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** Word shingles (n-gram tokens joined by space), as an array column.
-    * Text is single-space tokenized (matches the synthetic corpus and the
-    * oracle's string_split). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  /** Word shingles (n-gram tokens joined by space) from a PRE-STAGED token
+    * array column. Callers must alias the `split` into its own column
+    * first: higher-order functions are interpreted (no codegen, no common-
+    * subexpression elimination), so a `split(text)` inlined inside a
+    * lambda re-tokenizes the document once per lambda invocation —
+    * staging through an alias keeps it once per row (CollapseProject
+    * does not inline expensive multi-referenced aliases). */
+  def shinglesFromToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(text))
-  }
+      .otherwise(array(array_join(toks, " ")))
 
-  /** k-permutation MinHash signature over the shingle set, computed with
-    * Catalyst HOFs: h_j(s) = xxhash64(s, j) and the signature element is
-    * the min. One narrow projection; no UDF, no shuffle. */
-  def minhashSignature(text: Column, k: Int, n: Int = 3): Column = {
-    val sh = shingles(text, n)
+  /** Convenience single-expression form — only for one-shot use on small
+    * inputs; hot paths must stage (see [[shinglesFromToks]]). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromToks(split(text, " "), n)
+
+  /** k-permutation MinHash signature over a pre-staged shingle-array
+    * column: h_j(s) = xxhash64(s, j), signature element = min. One narrow
+    * projection; no UDF, no shuffle. */
+  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(sh, s => xxhash64(s, j))))
+
+  /** Single-pass MinHash signature as a Scala function.
+    *
+    * Deliberately NOT the HOF form above for the hot path: higher-order
+    * functions are interpreted (CodegenFallback, no common-subexpression
+    * elimination), and nothing stops the optimizer from inlining the
+    * shingle expression into the k-iteration lambda — re-tokenizing each
+    * document up to k×|shingles| times. The imperative form is one pass:
+    * tokenize once, hash each shingle once, mix per permutation.
+    * Hashes are splitmix64-derived — deterministic on any cluster. */
+  def minhashSignatureScala(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text == null) return sig
+    // token start/end offsets (single-space tokenization semantics)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    starts += 0
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nToks = starts.length
+    def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def shingleHash(from: Int, until: Int): Long = {
+      // FNV-1a over the chars of text[from, until) — identical bytes as
+      // the joined shingle string for single-space text
+      var h = 0xCBF29CE484222325L
+      var p = from
+      while (p < until) { h = (h ^ text.charAt(p)) * 0x100000001B3L; p += 1 }
+      mix(h)
+    }
+    val nShingles = math.max(1, nToks - n + 1)
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      val until =
+        if (nToks < n) text.length
+        else if (s + n < nToks) starts(s + n) - 1
+        else text.length
+      val h = shingleHash(from, until)
+      var j = 0
+      while (j < k) {
+        val hj = mix(h ^ (j * 0x9E3779B97F4A7C15L))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      s += 1
+    }
+    sig
   }
+
+  private val minhashUdf32 =
+    udf((text: String) => minhashSignatureScala(text, 32, 3))
 
   /** LSH banding: explode the signature into `bands` rows keyed by
     * (band, hash-of-rows); docs sharing a band bucket are candidates.
@@ -72,9 +135,10 @@ object Dedup {
       maxBucket: Int = 64
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(k == 32 && shingleN == 3,
+      "signature UDF is specialized to k=32, n=3 (see minhashUdf32)")
     val rows = k / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k, shingleN).as("sig"))
+    val sig = docs.select(col("doc_id"), minhashUdf32(col("text")).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -110,8 +174,10 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.8
   ): DataFrame = {
-    val withSh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), shingleN)).as("sh"))
+    val withSh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromToks(col("_toks"), shingleN)).as("sh"))
     pairs
       .join(withSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(withSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
