@@ -271,6 +271,26 @@ object SparkEntry {
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // A6 statistics: exact interpolated quantiles
+    "q26_quantiles" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"))
+    }),
+    // A6 summary statistics (order-independent forms only)
+    "q27_summary_stats" -> ((s, dir) => {
+      tbl(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          min(col("s_acctbal")).as("min_bal"),
+          max(col("s_acctbal")).as("max_bal"),
+          round(sum(dec2(col("s_acctbal"))).cast("double") / count(lit(1)), 6)
+            .as("avg_bal"))
+    }),
+
     // ---- KG pipeline (rows-only: NER semantics are not SQL-expressible;
     //      correctness is the P/R≥0.95 gate in the ScalaTest suite) ----
     "kg01_mentions" -> ((s, _) => kgMentions(s).toDF()),
@@ -506,6 +526,18 @@ object SparkEntry {
                       length(regexp_replace(p_brand, '[-¬]\s*', '', 'g')),
                       1), 6) AS led
          FROM part""",
+    "q26_quantiles" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+         ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+         ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+         FROM lineitem GROUP BY l_returnflag""",
+    "q27_summary_stats" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+         MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal,
+         ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*), 6) AS avg_bal
+         FROM supplier GROUP BY s_nationkey""",
     "q25_sessionize" ->
       """WITH g AS (
            SELECT user_id,

@@ -65,6 +65,25 @@ object Linker {
       .dropDuplicates("id")
   }
 
+  /** L4: sentence-level proximity pairs — consecutive mentions within the
+    * same (url, sentence) whose character gap is ≤ `maxGap` (reference
+    * `descriptive_analysis.ipynb cells 61-67`: zip of consecutive
+    * lSentenceOffsets ≤ 30 chars, used to surface composite mentions like
+    * "Reuters/AFP"). Window-lag formulation; no driver loop. */
+  def adjacentPairs(mentions: DataFrame, maxGap: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("url"), col("sentenceIdx"))
+      .orderBy(col("lOffset"))
+    mentions
+      .withColumn("_prevName", lag(col("name"), 1).over(w))
+      .withColumn("_prevR", lag(col("rOffset"), 1).over(w))
+      .where(col("_prevR").isNotNull &&
+        col("lOffset") - col("_prevR") <= maxGap)
+      .select(col("url"), col("sentenceIdx"),
+        col("_prevName").as("name1"), col("name").as("name2"),
+        (col("lOffset") - col("_prevR")).as("gap"))
+  }
+
   /** All (start, end) occurrences of `needle` in `hay` (literal match). */
   def occurrences(hay: String, needle: String): Seq[(Int, Int)] = {
     if (needle.isEmpty) return Seq.empty

@@ -60,6 +60,24 @@ object Sampling {
           .otherwise("test"))
       .drop("_b")
 
+  /** P3: min-frequency top-up — ensure every stratum has at least `minN`
+    * sampled rows by adding hash-ordered rows not already picked
+    * (reference `conditional_sample` loop, `sampling.ipynb cells 46-50`,
+    * expressed as one anti-join + window instead of a driver loop). */
+  def minFrequencyTopUp(df: DataFrame, picked: DataFrame, strata: Column,
+      key: Column, minN: Int): DataFrame = {
+    val have = picked.groupBy(strata.as("_s")).agg(count(lit(1)).as("_have"))
+    val candidates = df.join(picked.select(key.as("_k")),
+        key === col("_k"), "left_anti")
+      .join(have, strata === col("_s"), "left")
+      .withColumn("_need", lit(minN) - coalesce(col("_have"), lit(0L)))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(strata).orderBy(hashKey(key).asc)))
+      .where(col("_rn") <= col("_need"))
+      .drop("_s", "_k", "_have", "_need", "_rn")
+    picked.unionByName(candidates)
+  }
+
   /** P6: seeded random element from an array column. */
   def seededChoice(arr: Column, key: Column, seed: Int): Column =
     element_at(arr, (pmod(xxhash64(key, lit(seed)), size(arr).cast("long")) + 1).cast("int"))

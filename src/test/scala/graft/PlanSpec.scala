@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.ner.{AliasTrieScorer, NerStage}
+import graft.synth.Synth
+
+/** Plan-quality regression tests: the physical plans the engine depends on
+  * at 100 TB must not silently degrade — pushdown reaching the scan,
+  * broadcast joins on dimensions, top-k planned as TakeOrderedAndProject,
+  * and no Cartesian products anywhere in the query suite. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("NER gate predicates push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_corpus").toString
+    Synth.articles(spark, 200, 42L, 2).write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val gated = NerStage.gate(
+      spark.read.parquet(dir).as[graft.core.Article])
+    val scan = gated.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters"), scan)
+    assert(scan.contains("In(tp"), scan)
+    assert(scan.contains("In(lang"), scan)
+  }
+
+  test("dimension joins broadcast (q03), big-big joins never go Cartesian") {
+    val q3 = SparkEntry.queries("q03_region_revenue")(spark, sfDir)
+    q3.count() // finalize AQE
+    val p = planString(q3)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val q6 = SparkEntry.queries("q06_top_parts")(spark, sfDir)
+    assert(planString(q6).contains("TakeOrderedAndProject"), planString(q6))
+    val q22 = SparkEntry.queries("q22_ann_topk")(spark, sfDir)
+    assert(planString(q22).contains("TakeOrderedAndProject"), planString(q22))
+  }
+
+  test("scan prunes columns: token-count projection reads only needed columns") {
+    val q = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), scan)
+  }
+
+  test("no query in the suite plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+}
