@@ -94,6 +94,19 @@ object GraphMaterialize {
         sum(least(col("n1"), col("n2"))).as("weight"))
   }
 
+  /** A10: positional statistics — is the mention within the first/last 11
+    * chars of the article, averaged per decade (reference
+    * `helpersParsingResults.py:60-66`, `stats_training_corpus`). */
+  def positionalStats(analytic: DataFrame, textLen: DataFrame): DataFrame =
+    analytic
+      .join(textLen, "url") // (url, text_len)
+      .withColumn("near_start", (col("lOffset") < 11).cast("int"))
+      .withColumn("near_end", (col("rOffset") > col("text_len") - 11).cast("int"))
+      .groupBy(col("decade"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("near_start")).as("frac_near_start"),
+        avg(col("near_end")).as("frac_near_end"))
+
   /** Skew-aware variant of a hot-key count: salt the grouping key, partial
     * count per (key, salt), then merge. With partial aggregation Spark
     * already map-side-combines plain counts; the salted two-phase shape is
