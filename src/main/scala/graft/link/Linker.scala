@@ -53,10 +53,13 @@ object Linker {
   ): Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    mentions
-      .join(articleText, "url")
-      .as[(String, String, String, String, String, Int, Int, Int, Double, String, String, String)]
-      .flatMap { case (url, entity, surface, name, qid, sentIdx, l, r, conf, lang, _, text) =>
+    mentions.toDF()
+      .join(articleText.select(col("url"), col("text").as("_text")), "url")
+      .select(col("url"), col("entity"), col("surface"), col("name"),
+        col("qid"), col("sentenceIdx"), col("confidence"), col("lang"),
+        col("_text"))
+      .as[(String, String, String, String, String, Int, Double, String, String)]
+      .flatMap { case (url, entity, surface, name, qid, sentIdx, conf, lang, text) =>
         occurrences(text, surface).map { case (s, e) =>
           Mention(url, entity, surface, name, qid, sentIdx, s, e, conf, lang,
             graft.core.ArticleId.mentionId(url, s, e, lang))

@@ -191,53 +191,18 @@ object Dedup {
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes.
-    *
-    * Deliberately a Scala UDF, not HOF Catalyst: the columnar formulation
-    * needs 64 `aggregate()` passes over the token array (one per bit),
-    * while the imperative loop is a single pass with 64 accumulators —
-    * ~64x less work in the hot path. Token hash is splitmix64 of the UTF-8
-    * bytes (deterministic everywhere, no JVM `hashCode` dependence). */
-  def simhash64Scala(text: String): Long = {
-    if (text == null || text.isEmpty) return 0L
-    val votes = new Array[Int](64)
-    var start = 0
-    val n = text.length
-    var i = 0
-    while (i <= n) {
-      if (i == n || text.charAt(i) == ' ') {
-        if (i > start) {
-          val h = splitmixBytes(text.substring(start, i))
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        start = i + 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    sig
-  }
+    * hashes. Backed by the native Catalyst expression
+    * [[graft.functions.SimHash64]] (codegen'd, operates on UTF8String
+    * bytes directly — no UDF boxing, no HOF interpretation). */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
-  private def splitmixBytes(s: String): Long = {
-    var z = 0x9E3779B97F4A7C15L
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) { z = (z ^ bytes(i).toLong) * 0x100000001B3L; i += 1 }
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => simhash64Scala(s))
-
-  def simhash64(text: Column): Column = simhashUdf(text)
+  /** Driver/test-side scalar form, same bits as the expression. */
+  def simhash64Scala(text: String): Long =
+    graft.functions.SimHash64.hashUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
