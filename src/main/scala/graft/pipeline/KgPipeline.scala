@@ -73,8 +73,16 @@ object KgPipeline {
           .as[Int].collect().toSet
       else Set.empty
 
-    val bucketed = articles
-      .withColumn("_bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
+    // If the input already carries a `bucket` partition column (bucketed
+    // table layout), filtering on it prunes to that bucket's files and the
+    // per-bucket loop reads each input byte exactly once overall; on
+    // unbucketed input the predicate is computed per row (B passes — fine
+    // for recovery runs, not for the steady state; ingest bucketed).
+    val hasBucketCol = articles.columns.contains("bucket")
+    val bucketed =
+      if (hasBucketCol) articles.toDF().withColumnRenamed("bucket", "_bucket")
+      else articles.toDF()
+        .withColumn("_bucket", pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
 
     val stats = (0 until buckets).filterNot(done).map { b =>
       val t0 = System.nanoTime()

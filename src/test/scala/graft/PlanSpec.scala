@@ -56,6 +56,29 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), scan)
   }
 
+  test("bucketed tables join without an exchange (co-located big-big join)") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ path
+    try {
+      import spark.implicits._
+      val a = (0L until 10000L).map(i => (i, s"u$i")).toDF("k", "va")
+      val b = (0L until 10000L).map(i => (i, i * 2)).toDF("k", "vb")
+      a.write.mode("overwrite")
+        .option("path", s"$wh/ta").bucketBy(8, "k").sortBy("k").saveAsTable("ta")
+      b.write.mode("overwrite")
+        .option("path", s"$wh/tb").bucketBy(8, "k").sortBy("k").saveAsTable("tb")
+      val joined = spark.table("ta").join(spark.table("tb"), "k")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // bucketing co-locates the join
+      assert(joined.count() == 10000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760)
+      spark.sql("DROP TABLE IF EXISTS ta")
+      spark.sql("DROP TABLE IF EXISTS tb")
+    }
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
