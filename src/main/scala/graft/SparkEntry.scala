@@ -324,6 +324,18 @@ object SparkEntry {
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
       Ann.topKCosineLsh(emb, q, 10, bits = 4)
+    }),
+    // embedding-cosine near-dup: planted near-identical copies (each
+    // vector with its first component nudged) must pair with their source
+    "kg09_embedding_neardup" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val mutated = emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) * 1.01f).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      Ann.embeddingNearDupPairs(emb.unionByName(mutated), dim = 64,
+        minCosine = 0.98)
     })
   )
 

@@ -103,6 +103,53 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate detection (the dedup path for
+    * embedded corpora): vectors are LSH-bucketed once (narrow pass), only
+    * same-bucket pairs are compared, and survivors are exact-cosine
+    * verified. Multi-band: `bands` independent hyperplane sets; a pair is
+    * a candidate if it collides in ANY band (recall compounds per band —
+    * near-identical vectors miss a b-bit band with prob ≈ b·θ/π, so four
+    * 8-bit bands push recall ≥ 0.999 at θ ≈ 0.05 rad). Bucket fan-out is
+    * capped like the MinHash path (boilerplate guard). */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      dim: Int,
+      minCosine: Double = 0.95,
+      bits: Int = 8,
+      bands: Int = 4,
+      maxBucket: Int = 256,
+      seed: Long = 7L
+  ): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col("embedding"), bits, dim, seed + b * 1000003L).as("key"))
+    }
+    val bandedAll = embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // skew guard: a degenerate bucket (e.g. the all-zeros region) would go
+    // quadratic in the self-join — drop oversized buckets explicitly
+    // (inspect via bucketStats; not a silent cap)
+    val sizes = bandedAll.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("_bsz"))
+    val banded = bandedAll.join(sizes, Seq("band", "key"))
+      .where(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+    val a = banded.select(col("band"), col("key"),
+      col("vec_id").as("id1"), col("embedding").as("e1"))
+    val bDf = banded.select(col("band"), col("key"),
+      col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(bDf, Seq("band", "key"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("e1"), col("e2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .groupBy(col("id1"), col("id2"))
+      .agg(first(col("cosine")).as("cosine"))
+  }
+
   /** IVF-style coarse quantization: per-bucket centroid table (one
     * aggregation), for inspection/repartition planning at scale. */
   def bucketStats(embeddings: DataFrame, bits: Int, dim: Int,

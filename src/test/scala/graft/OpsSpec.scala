@@ -101,6 +101,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.1) // self-match always survives; rest is probabilistic
   }
 
+  test("embedding-cosine near-dup finds planted pairs, skips dissimilar") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val base = (0L until 100L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    // plant: copy of each vector with 1% perturbation on one component
+    val near = base.map { case (i, v) =>
+      val w = v.clone(); w(0) = w(0) * 1.01f; (i + 1000L, w)
+    }
+    val df = (base ++ near).toDF("vec_id", "embedding")
+    val pairs = Ann.embeddingNearDupPairs(df, dim = 16, minCosine = 0.98,
+      bits = 6, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val found = planted.intersect(pairs)
+    info(s"recall ${found.size}/${planted.size}, extra pairs ${(pairs -- planted).size}")
+    assert(found.size >= 95) // multi-band recall
+    // extras must genuinely be >= 0.98 cosine (exact-verified by design)
+  }
+
   // --- text analysis ---
 
   test("langId picks the dominant marker language with priority tie-break") {
