@@ -43,9 +43,12 @@ object ConllTsvReader {
     var lastWasBoundary = true
     content.linesIterator.foreach { line =>
       if (line.startsWith("#")) {
-        // `# key = value` metadata rows (convert_xmi2clef_format.py:417-442)
+        // `# key = value` metadata rows (convert_xmi2clef_format.py:417-442);
+        // hipe2022-era files namespace the key (`# hipe2022:document_id = …`)
         val kv = line.drop(1).split("=", 2)
-        if (kv.length == 2 && kv(0).trim == "document_id") {
+        val key = kv(0).trim
+        if (kv.length == 2 &&
+          (key == "document_id" || key.endsWith(":document_id"))) {
           docId = kv(1).trim
           segId = 0L
           tokIdx = 0
@@ -53,11 +56,14 @@ object ConllTsvReader {
         }
       } else if (line.trim.isEmpty) {
         if (!lastWasBoundary) { segId += 1; lastWasBoundary = true }
+      } else if (line.startsWith("TOKEN\t")) {
+        () // canonical column-header row
       } else {
         val cols = line.split("\t", -1)
         def at(i: Int): String = if (i < cols.length) cols(i) else ""
-        val seg = at(10)
-        val eos = seg.contains("EndOfSentence")
+        // 13-col newsagency files carry the flag in SEG (col 10); 10-col
+        // hipe2022 files carry it in MISC (last col) — accept either
+        val eos = cols.exists(_.contains("EndOfSentence"))
         out += TsvToken(
           docId = docId,
           segId = segId,
@@ -66,7 +72,7 @@ object ConllTsvReader {
           neCoarseLit = at(1),
           neFineLit = at(3),
           nelLit = at(7),
-          misc = at(12),
+          misc = if (cols.length >= 13) at(12) else cols.last,
           isEndOfSentence = eos)
         tokIdx += 1
         lastWasBoundary = false
@@ -76,19 +82,25 @@ object ConllTsvReader {
     out.result()
   }
 
-  /** Collect BIO-labeled spans per (doc, column) from the token stream —
-    * gold spans for the scorer (analog of `collect_named_entities`,
-    * `HIPE-scorer/hipe_evaluation/utils.py:272-331`). */
-  def goldSpans(tokens: Seq[TsvToken]): Seq[graft.core.Span] = {
+  /** Collect BIO(ES)-labeled spans from the token stream — gold spans for
+    * the scorer (analog of `collect_named_entities`,
+    * `HIPE-scorer/hipe_evaluation/utils.py:272-331`). `column` selects the
+    * annotation layer (fine-LIT by default; coarse for HIPE parity). */
+  def goldSpansBy(tokens: Seq[TsvToken],
+      column: TsvToken => String): Seq[graft.core.Span] = {
+    def norm(l: String): String =
+      if (l.startsWith("S-")) "B-" + l.substring(2)
+      else if (l.startsWith("E-")) "I-" + l.substring(2)
+      else l
     val out = Seq.newBuilder[graft.core.Span]
     var i = 0
     val n = tokens.length
     while (i < n) {
-      val lbl = tokens(i).neFineLit
+      val lbl = norm(column(tokens(i)))
       if (lbl.startsWith("B-")) {
         val t = lbl.substring(2)
         var j = i + 1
-        while (j < n && tokens(j).neFineLit == "I-" + t) j += 1
+        while (j < n && norm(column(tokens(j))) == "I-" + t) j += 1
         out += graft.core.Span(t, tokens(i).tokIdx, tokens(j - 1).tokIdx,
           tokens.slice(i, j).map(_.token).mkString(" "))
         i = j
@@ -96,4 +108,7 @@ object ConllTsvReader {
     }
     out.result()
   }
+
+  def goldSpans(tokens: Seq[TsvToken]): Seq[graft.core.Span] =
+    goldSpansBy(tokens, _.neFineLit)
 }

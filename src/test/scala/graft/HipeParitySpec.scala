@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TsvToken
+import graft.eval.SpanEval
+import graft.sources.ConllTsvReader
+
+/** Validate the engine's scorer against the HIPE scorer's own unit-test
+  * fixtures (`HIPE-scorer/hipe_evaluation/tests/data/`): our strict regime
+  * must reproduce the reference's `strict` TP/FP/FN and our fuzzy regime
+  * its `ent_type` regime (type match + boundary overlap) — SURVEY §5.2
+  * item 3.
+  */
+class HipeParitySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val base =
+    "/root/reference/lib/bert_classification/HIPE-scorer/hipe_evaluation/tests/data"
+
+  private def spansDf(file: String, column: TsvToken => String) = {
+    import spark.implicits._
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    val toks = ConllTsvReader.parse(content)
+    toks.groupBy(_.docId).toSeq.flatMap { case (doc, ts) =>
+      ConllTsvReader.goldSpansBy(ts.sortBy(_.tokIdx), column)
+        .map(s => (doc, s.eType, s.start, s.end + 1))
+    }.toDF("url", "entity", "lOffset", "rOffset")
+  }
+
+  /** Parse the expected ALL-section counts from the scorer's ref JSON
+    * without a JSON library: the fixture layout is stable. */
+  private def expected(file: String, regime: String): (Long, Long, Long) = {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    val allIdx = text.indexOf("\"ALL\"")
+    require(allIdx >= 0, s"no ALL section in $file")
+    val regimeIdx = text.indexOf("\"" + regime + "\"", allIdx)
+    require(regimeIdx >= 0, s"no $regime in ALL of $file")
+    def grab(key: String): Long = {
+      val i = text.indexOf("\"" + key + "\"", regimeIdx)
+      val j = text.indexOf(":", i) + 1
+      val k = text.indexWhere(c => c == ',' || c == '\n' || c == '}', j)
+      text.substring(j, k).trim.toLong
+    }
+    (grab("TP"), grab("FP"), grab("FN"))
+  }
+
+  private def check(pair: String, refJson: String, column: TsvToken => String): Unit = {
+    val pred = spansDf(s"$base/unittest-$pair-pred.tsv", column)
+    val gold = spansDf(s"$base/unittest-$pair-true.tsv", column)
+    val strict = SpanEval.score(pred, gold, fuzzy = false)
+    val fuzzy = SpanEval.score(pred, gold, fuzzy = true)
+    val (sTp, sFp, sFn) = expected(refJson, "strict")
+    val (eTp, eFp, eFn) = expected(refJson, "ent_type")
+    assert((strict.tp, strict.fp, strict.fn) == ((sTp, sFp, sFn)),
+      s"$pair strict: got ${(strict.tp, strict.fp, strict.fn)} expected ${(sTp, sFp, sFn)}")
+    assert((fuzzy.tp, fuzzy.fp, fuzzy.fn) == ((eTp, eFp, eFn)),
+      s"$pair ent_type: got ${(fuzzy.tp, fuzzy.fp, fuzzy.fn)} expected ${(eTp, eFp, eFn)}")
+  }
+
+  test("HIPE fixture ner-1 (coarse): strict + ent_type parity") {
+    assume(new java.io.File(base).isDirectory)
+    check("ner-1", s"$base/unittest-ner-1-pred.tsv.ner-coarse-lit_ref_results.json",
+      _.neCoarseLit)
+  }
+
+  test("HIPE fixture ner-2 (coarse): strict + ent_type parity") {
+    assume(new java.io.File(base).isDirectory)
+    check("ner-2", s"$base/unittest-ner-2-pred.tsv.coarse-lit_ref_results.json",
+      _.neCoarseLit)
+  }
+
+  test("HIPE fixture ner-2 (fine): strict + ent_type parity") {
+    assume(new java.io.File(base).isDirectory)
+    check("ner-2", s"$base/unittest-ner-2-pred.tsv.fine-lit_ref_results.json",
+      _.neFineLit)
+  }
+
+  test("HIPE fixture ner-2-IOBES (coarse): S-/E- tags normalize") {
+    assume(new java.io.File(base).isDirectory)
+    check("ner-2-IOBES",
+      s"$base/unittest-ner-2-IOBES-pred.tsv.coarse-lit_ref_results.json",
+      _.neCoarseLit)
+  }
+}
