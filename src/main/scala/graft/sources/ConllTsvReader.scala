@@ -56,8 +56,9 @@ object ConllTsvReader {
         }
       } else if (line.trim.isEmpty) {
         if (!lastWasBoundary) { segId += 1; lastWasBoundary = true }
-      } else if (line.startsWith("TOKEN\t")) {
-        () // canonical column-header row
+      } else if (line.startsWith("TOKEN\tNE-COARSE-LIT")) {
+        () // canonical column-header row (full prefix: a document may
+      //    legitimately contain the bare token "TOKEN")
       } else {
         val cols = line.split("\t", -1)
         def at(i: Int): String = if (i < cols.length) cols(i) else ""
@@ -88,24 +89,43 @@ object ConllTsvReader {
     * annotation layer (fine-LIT by default; coarse for HIPE parity). */
   def goldSpansBy(tokens: Seq[TsvToken],
       column: TsvToken => String): Seq[graft.core.Span] = {
+    // mirrors collect_named_entities (utils.py:272-331) exactly: a span
+    // closes on O; ANY non-O tag opens a span when none is open (a stray
+    // I-X after O starts an X entity); a type change or a B- prefix while
+    // one is open closes it and opens the next
     def norm(l: String): String =
       if (l.startsWith("S-")) "B-" + l.substring(2)
       else if (l.startsWith("E-")) "I-" + l.substring(2)
       else l
+    def typeOf(l: String): String =
+      if (l.length > 2 && (l.startsWith("B-") || l.startsWith("I-"))) l.substring(2)
+      else l
     val out = Seq.newBuilder[graft.core.Span]
+    var openType: String = null
+    var openFrom = -1
+    def close(until: Int): Unit = {
+      if (openType != null) {
+        out += graft.core.Span(openType,
+          tokens(openFrom).tokIdx, tokens(until).tokIdx,
+          tokens.slice(openFrom, until + 1).map(_.token).mkString(" "))
+        openType = null
+      }
+    }
     var i = 0
     val n = tokens.length
     while (i < n) {
       val lbl = norm(column(tokens(i)))
-      if (lbl.startsWith("B-")) {
-        val t = lbl.substring(2)
-        var j = i + 1
-        while (j < n && norm(column(tokens(j))) == "I-" + t) j += 1
-        out += graft.core.Span(t, tokens(i).tokIdx, tokens(j - 1).tokIdx,
-          tokens.slice(i, j).map(_.token).mkString(" "))
-        i = j
-      } else i += 1
+      if (lbl == "O" || lbl.isEmpty || lbl == "_") close(i - 1)
+      else {
+        val t = typeOf(lbl)
+        if (openType == null) { openType = t; openFrom = i }
+        else if (t != openType || lbl.startsWith("B-")) {
+          close(i - 1); openType = t; openFrom = i
+        }
+      }
+      i += 1
     }
+    close(n - 1)
     out.result()
   }
 

@@ -84,4 +84,13 @@ class HipeParitySpec extends AnyFunSuite {
       s"$base/unittest-ner-2-IOBES-pred.tsv.coarse-lit_ref_results.json",
       _.neCoarseLit)
   }
+
+  test("HIPE fixture ner-lit-coarse-3: ent_type DIFFERS from strict (3/0/0 vs 2/1/1)") {
+    // the one fixture where the regimes disagree — proves the fuzzy
+    // (boundary-overlap) path is genuinely exercised, not mirroring strict
+    assume(new java.io.File(base).isDirectory)
+    check("ner-lit-coarse-3",
+      s"$base/unittest-ner-lit-coarse-3-pred.tsv.ref_results.json",
+      _.neCoarseLit)
+  }
 }
