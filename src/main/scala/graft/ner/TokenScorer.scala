@@ -43,7 +43,9 @@ final class AliasTrieScorer extends TokenScorer {
 
   override def score(tokens: IndexedSeq[String]): IndexedSeq[(String, Double)] = {
     val n = tokens.length
-    val out = Array.fill[(String, Double)](n)(("O", OutsideConfidence))
+    // one shared tuple for the (overwhelmingly common) O case — a fresh
+    // tuple per token is measurable garbage at corpus scale
+    val out = Array.fill[(String, Double)](n)(AliasTrieScorer.Outside)
     var i = 0
     while (i < n) {
       var node = trie
@@ -85,6 +87,7 @@ object AliasTrieScorer {
   val OutsideConfidence = 0.999
   val CanonicalConfidence = 0.99
   val VariantConfidence = 0.975
+  private[ner] val Outside: (String, Double) = ("O", OutsideConfidence)
 
   final class TrieNode extends Serializable {
     val children = scala.collection.mutable.HashMap.empty[String, TrieNode]

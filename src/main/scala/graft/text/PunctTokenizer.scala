@@ -15,14 +15,16 @@ object PunctTokenizer {
   final case class Token(text: String, start: Int, end: Int)
 
   def tokenize(s: String): IndexedSeq[Token] = {
-    val out = IndexedSeq.newBuilder[Token]
+    // array-backed (Vector builders cost ~2x in the NER hot path)
+    val out = new scala.collection.mutable.ArrayBuffer[Token](
+      math.max(8, s.length / 5))
     var i = 0
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if (TextNorm.isPunct(c)) {
-        out += Token(c.toString, i, i + 1)
+        out += Token(String.valueOf(c), i, i + 1)
         i += 1
       } else {
         val start = i
@@ -31,7 +33,7 @@ object PunctTokenizer {
         out += Token(s.substring(start, i), start, i)
       }
     }
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** Plain token strings, byte-compatible with the reference's

@@ -34,9 +34,16 @@ object TextNorm {
   }
 
   private val Punct = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
-  private val PunctSet: Set[Char] = Punct.toSet
 
-  def isPunct(c: Char): Boolean = PunctSet(c)
+  // table lookup, not a Set probe — isPunct runs once per character of
+  // every document in the NER hot path
+  private val PunctTable: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    Punct.foreach(c => t(c) = true)
+    t
+  }
+
+  def isPunct(c: Char): Boolean = c < 128 && PunctTable(c)
 
   /** `re.sub(r"\s([<punct>](?:\s|$))", r"\1", text)` — drop a single space
     * before a punctuation char that is itself followed by space/end
