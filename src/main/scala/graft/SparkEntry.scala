@@ -196,14 +196,16 @@ object SparkEntry {
     "q17_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(tbl(s, dir, "documents"))
     }),
-    // quality scoring aggregate
+    // quality scoring aggregate — exact integer micro-units end-to-end
+    // (round-1 lesson: a post-round double in the hashed output diverges at
+    // decimal ties because Spark rounds decimal-exact and DuckDB rounds in
+    // binary FP; quality has the exact form 10n·q ∈ ℤ, see qualityMicros)
     "q18_doc_quality" -> ((s, dir) => {
-      TextAnalysis.qualityScore(tbl(s, dir, "documents"))
+      TextAnalysis.qualityMicros(tbl(s, dir, "documents"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("total_tokens"),
-          round(sum(col("quality").cast(DecimalType(12, 6))).cast("double") /
-            count(lit(1)), 6).as("avg_quality"))
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("quality_u")).as("sum_quality_u"))
     }),
     // language-ID heuristic
     "q19_langid" -> ((s, dir) => {
@@ -271,6 +273,17 @@ object SparkEntry {
         .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // A5 oracle proxy: the co-citation operator itself (reference edge-list
+    // semantics with freq_node1/freq_node2) run over the orders table —
+    // custkey plays "newspaper", priority plays "agency"
+    "q28_cocitation_freqs" -> ((s, dir) => {
+      val analytic = tbl(s, dir, "orders").select(
+        col("o_custkey").as("newspaper"),
+        year(col("o_orderdate")).cast("int").as("year"),
+        col("o_orderpriority").as("agency"))
+      GraphMaterialize.coCitationEdges(analytic)
+    }),
+
     // A6 statistics: exact interpolated quantiles
     "q26_quantiles" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
@@ -300,6 +313,10 @@ object SparkEntry {
       GraphMaterialize.yearlyEdges(
         GraphMaterialize.existenceFilter(
           GraphMaterialize.analyticMentions(kgMentions(s))))),
+    // reference-exact co-citation edge list (freq_node1/freq_node2 per
+    // (np, year) pair, network_analysis cell 20). Rows-only here (input is
+    // the synthetic NER output); the operator itself is oracle-checked on
+    // the orders table by q28_cocitation_freqs.
     "kg04_cocitation" -> ((s, _) =>
       GraphMaterialize.coCitationEdges(
         GraphMaterialize.analyticMentions(kgMentions(s)))),
@@ -310,8 +327,25 @@ object SparkEntry {
       graft.canon.ConnectedComponents.run(edges)
         .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
     }),
-    "kg06_media_features" -> ((s, _) =>
-      Multimodal.extractFeatures(kgArticles(s).toDF()).toDF()),
+    // multimodal plumbing over an opaque binary column, projected to
+    // harness-comparable scalars (round-1 lesson: an array<double> output
+    // column breaks the driver's pandas canonicalizer). The binary payload
+    // is the UTF-8 encoding of `text` (deterministic; documents are ASCII,
+    // so DuckDB can oracle the byte stats via codepoints). Entropy is the
+    // one double — transcendental, so round(…,4) is tie-safe; everything
+    // else is exact integers.
+    "kg06_media_features" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val feats = Multimodal.extractFeatures(docs, urlCol = "doc_id",
+        binCol = "media").toDF()
+      val stripes = (0 until Multimodal.FakeDecoder.FeatureDim).map(i =>
+        element_at(col("stripe_sums"), i + 1).as(s"s$i"))
+      feats.select(
+        Seq(col("url").cast("long").as("doc_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(col("byte_entropy"), 4).as("entropy4")) ++ stripes: _*)
+    }),
     // near-dup internals exposed rows-only (signatures; pair logic is
     // oracle-checked via q21)
     "kg07_simhash" -> ((s, dir) => {
@@ -433,25 +467,25 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_id,
          COUNT(*) AS n_docs FROM documents GROUP BY 1""",
     "q18_doc_quality" ->
-      """WITH q AS (
+      """WITH t AS (
            SELECT lang,
-             len(string_split(text, ' ')) AS n_tokens,
-             ROUND(
-               CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000
-                    THEN 0.4 ELSE 0.0 END
-               + LEAST(CAST(len(list_filter(string_split(text, ' '),
-                   w -> w IN ('the','and','of','to','is','le','la','les','des',
-                              'est','der','die','und','das','ist','el','los',
-                              'que','las','es'))) AS DOUBLE)
-                 / len(string_split(text, ' ')) * 2, 0.3)
-               + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) * 0.3,
-             6) AS quality
-           FROM documents)
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','and','of','to','is','le','la','les','des',
+                          'est','der','die','und','das','ist','el','los',
+                          'que','las','es'))) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct
+           FROM documents),
+         q AS (
+           SELECT lang, n,
+             ((CASE WHEN n BETWEEN 10 AND 10000 THEN 4 * n ELSE 0 END
+               + LEAST(20 * n_stop, 3 * n) + 3 * n_distinct)
+              * 100000) // n AS quality_u
+           FROM t)
          SELECT lang, COUNT(*) AS n_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
-           ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_quality
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(quality_u) AS BIGINT) AS sum_quality_u
          FROM q GROUP BY lang""",
     "q19_langid" ->
       """WITH c AS (
@@ -550,6 +584,62 @@ object SparkEntry {
          ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
            / COUNT(*), 6) AS avg_bal
          FROM supplier GROUP BY s_nationkey""",
+    "q28_cocitation_freqs" ->
+      """WITH per AS (
+           SELECT o_custkey AS newspaper,
+                  CAST(year(o_orderdate) AS INT) AS year,
+                  o_orderpriority AS agency, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2, 3)
+         SELECT a.newspaper, a.year,
+                a.agency AS ag1, b.agency AS ag2,
+                a.n AS freq1, b.n AS freq2
+         FROM per a JOIN per b
+           ON a.newspaper = b.newspaper AND a.year = b.year
+          AND a.agency < b.agency""",
+    "kg06_media_features" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+               i -> ord(substring(text, CAST(i AS INT), 1))) AS codes
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+             ROUND(-SUM((CAST(c AS DOUBLE) / n_bytes)
+               * log2(CAST(c AS DOUBLE) / n_bytes)), 4) AS entropy4
+           FROM (SELECT doc_id, n_bytes, code, COUNT(*) AS c
+                 FROM (SELECT doc_id, n_bytes, unnest(codes) AS code FROM b)
+                 GROUP BY 1, 2, 3)
+           GROUP BY doc_id),
+         s AS (
+           SELECT doc_id, n_bytes,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 0 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s0,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 1 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s1,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 2 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s2,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 3 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s3,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 4 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s4,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 5 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s5,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 6 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s6,
+             CAST(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+               i -> CASE WHEN i % 8 = 7 THEN codes[CAST(i + 1 AS INT)]
+                         ELSE 0 END)) AS BIGINT) AS s7
+           FROM b)
+         SELECT s.doc_id, s.n_bytes, e.entropy4,
+                s0, s1, s2, s3, s4, s5, s6, s7
+         FROM s JOIN e USING (doc_id)""",
     "q25_sessionize" ->
       """WITH g AS (
            SELECT user_id,

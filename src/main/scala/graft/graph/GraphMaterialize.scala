@@ -71,11 +71,17 @@ object GraphMaterialize {
   def threshold(edges: DataFrame, minWeight: Long): DataFrame =
     edges.where(col("weight") >= minWeight)
 
-  /** A5: agency-agency co-citation edges — agencies cited by the same
-    * newspaper in the same year (`network_analysis.ipynb cell 29`).
+  /** A5: agency-agency co-citation edge list — one edge per (newspaper,
+    * year, agency-pair) carrying each agency's mention frequency in that
+    * newspaper-year, exactly the reference's `create_subgraph_edgelist`
+    * MultiGraph edge attributes (`network_analysis.ipynb code cell 20`:
+    * Counter per (col_drop, year) → pair combinations → `freq_node1`,
+    * `freq_node2`). Pair order is normalized to `ag1 < ag2` (the graph is
+    * undirected; Counter insertion order is not deterministic anyway).
+    *
     * Spark idiom: aggregate to (np, year, agency, n), then self-join on
-    * (np, year) with `ag1 < ag2` — the pandas Counter+combinations shape
-    * would concentrate all pairs in the driver.
+    * (np, year) — the pandas Counter+combinations shape would concentrate
+    * all pairs in the driver.
     */
   def coCitationEdges(analytic: DataFrame): DataFrame = {
     val perNpYear = analytic
@@ -83,16 +89,24 @@ object GraphMaterialize {
       .agg(count(lit(1)).as("n"))
     val a = perNpYear.select(
       col("newspaper"), col("year"),
-      col("agency").as("ag1"), col("n").as("n1"))
+      col("agency").as("ag1"), col("n").as("freq1"))
     val b = perNpYear.select(
       col("newspaper"), col("year"),
-      col("agency").as("ag2"), col("n").as("n2"))
+      col("agency").as("ag2"), col("n").as("freq2"))
     a.join(b, Seq("newspaper", "year"))
       .where(col("ag1") < col("ag2"))
+      .select(col("newspaper"), col("year"),
+        col("ag1"), col("ag2"), col("freq1"), col("freq2"))
+  }
+
+  /** Aggregated yearly co-citation view over [[coCitationEdges]] (the
+    * simple-graph collapse used for plotting/GEXF): newspapers co-citing
+    * the pair plus both nodes' total frequencies. */
+  def coCitationYearly(analytic: DataFrame): DataFrame =
+    coCitationEdges(analytic)
       .groupBy(col("ag1"), col("ag2"), col("year"))
       .agg(count(lit(1)).as("n_newspapers"),
-        sum(least(col("n1"), col("n2"))).as("weight"))
-  }
+        sum(col("freq1")).as("freq1"), sum(col("freq2")).as("freq2"))
 
   /** A10: positional statistics — is the mention within the first/last 11
     * chars of the article, averaged per decade (reference

@@ -14,20 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed decoded-feature row. */
+  /** Typed decoded-feature row. `stripe_sums` are exact-integer byte sums
+    * per position stripe (i mod FeatureDim) — the oracle-hashable form of
+    * the folded signature (`features` is the normalized double view). */
   final case class MediaFeatures(
       url: String,
       n_bytes: Int,
       byte_entropy: Double,
-      features: Array[Double]
+      features: Array[Double],
+      stripe_sums: Array[Long]
   )
 
   /** Deterministic fake decoder: byte histogram entropy + an 8-dim folded
     * byte signature. Stands in for image decode / resize / frame-sample. */
   object FakeDecoder extends Serializable {
     val FeatureDim = 8
-    def decode(bytes: Array[Byte]): (Double, Array[Double]) = {
-      if (bytes == null || bytes.isEmpty) return (0.0, Array.fill(FeatureDim)(0.0))
+    def decode(bytes: Array[Byte]): (Double, Array[Double], Array[Long]) = {
+      if (bytes == null || bytes.isEmpty)
+        return (0.0, Array.fill(FeatureDim)(0.0), Array.fill(FeatureDim)(0L))
       val hist = new Array[Long](256)
       bytes.foreach(b => hist(b & 0xff) += 1)
       val n = bytes.length.toDouble
@@ -35,10 +39,11 @@ object Multimodal {
       hist.foreach { c =>
         if (c > 0) { val p = c / n; ent -= p * math.log(p) / math.log(2) }
       }
-      val feats = new Array[Double](FeatureDim)
+      val sums = new Array[Long](FeatureDim)
       var i = 0
-      bytes.foreach { b => feats(i % FeatureDim) += (b & 0xff) / 255.0; i += 1 }
-      (ent, feats.map(_ / math.ceil(n / FeatureDim)))
+      bytes.foreach { b => sums(i % FeatureDim) += (b & 0xff); i += 1 }
+      val denom = 255.0 * math.ceil(n / FeatureDim)
+      (ent, sums.map(_ / denom), sums)
     }
   }
 
@@ -61,8 +66,9 @@ object Multimodal {
         val decoder = FakeDecoder // per-partition init point
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (url, bytes) =>
-            val (ent, feats) = decoder.decode(bytes)
-            MediaFeatures(url, if (bytes == null) 0 else bytes.length, ent, feats)
+            val (ent, feats, sums) = decoder.decode(bytes)
+            MediaFeatures(url, if (bytes == null) 0 else bytes.length, ent,
+              feats, sums)
           }
         }
       }

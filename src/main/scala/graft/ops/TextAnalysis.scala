@@ -66,6 +66,34 @@ object TextAnalysis {
             col("distinct_token_ratio") * 0.3,
           6))
 
+  /** Exact-integer quality in micro-units — the oracle-hashable form.
+    *
+    * The score `q = 0.4·inRange + min(2·stop/n, 0.3) + 0.3·distinct/n` has
+    * the exact integer representation `10n·q = 4n·inRange +
+    * min(20·stop, 3n) + 3·distinct`, so micro-units are one integral
+    * division: `⌊q·10⁶⌋ = (10n·q · 100000) div n`. No double ever enters the
+    * value, so the cross-engine hash compare is exact by construction
+    * (doubles round differently at decimal ties between engines — the
+    * round-1 q18 lesson).
+    */
+  def qualityMicros(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val stop = LangMarkers.flatMap(_._2).distinct
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("_n_stop",
+        size(filter(toks, w => w.isin(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("_n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("_q10n",
+        when(col("n_tokens").between(10, 10000), col("n_tokens") * 4L)
+          .otherwise(0L) +
+          least(col("_n_stop") * 20L, col("n_tokens") * 3L) +
+          col("_n_distinct") * 3L)
+      .withColumn("quality_u", expr("(_q10n * CAST(100000 AS BIGINT)) div n_tokens"))
+      .drop("_n_stop", "_n_distinct", "_q10n")
+  }
+
   /** Per-doc fingerprint (min-md5 over char 5-grams). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

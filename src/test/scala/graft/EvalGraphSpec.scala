@@ -114,10 +114,15 @@ class EvalGraphSpec extends AnyFunSuite {
     val cc = GraphMaterialize.coCitationEdges(analytic).collect()
     assert(cc.length == 1)
     val r = cc.head
-    assert(r.getString(0) == "Havas" && r.getString(1) == "Reuters" &&
-      r.getInt(2) == 1936)
-    assert(r.getLong(3) == 1) // one newspaper co-cites
-    assert(r.getLong(4) == 1) // min(1 Havas, 2 Reuters)
+    // reference edge attrs (network_analysis cell 20): per-(np, year) pair
+    // with each node's own frequency — no invented combined weight
+    assert(r.getString(0) == "GDL" && r.getInt(1) == 1936)
+    assert(r.getString(2) == "Havas" && r.getString(3) == "Reuters")
+    assert(r.getLong(4) == 1) // freq_node1: Havas cited once in GDL-1936
+    assert(r.getLong(5) == 2) // freq_node2: Reuters cited twice
+    val yearly = GraphMaterialize.coCitationYearly(analytic).collect()
+    assert(yearly.length == 1)
+    assert(yearly.head.getLong(3) == 1) // one newspaper co-cites the pair
   }
 
   test("GEXF export is well-formed and complete") {
