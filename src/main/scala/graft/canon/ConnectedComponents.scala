@@ -50,19 +50,23 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("nbrMin"))
+      // carry the old label through the propagation select so convergence
+      // detection is a narrow filter over the (eagerly materialized)
+      // checkpoint — the round-1 form re-joined next⋈labels per round,
+      // doubling the loop's shuffle count
       val next = labels
         .join(proposals, Seq("node"), "left")
         .select(
           col("node"),
+          col("component").as("_old"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .where(col("n.component") =!= col("o.component"))
+      val changed = next
+        .where(col("component") =!= col("_old"))
         .limit(1)
         .count()
-      labels = next
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }

@@ -51,26 +51,27 @@ object Ann {
   private def typedlitSeq(v: Seq[Float]): Column =
     array(v.map(x => lit(x.toDouble)): _*)
 
-  /** Random-hyperplane LSH bucket id: `bits` sign bits of dot products with
-    * seeded pseudo-random hyperplanes. Hyperplane component h[j][d] is a
+  /** All multi-band random-hyperplane LSH keys in ONE embedding traversal —
+    * backed by the native codegen'd expression
+    * [[graft.functions.LshBandKeys]]. Returns `array<long>` of length
+    * `bands`. */
+  def lshBandKeys(emb: Column, bits: Int, bands: Int, seed: Long = 7L): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.LshBandKeys(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb),
+        bits, bands, seed))
+
+  /** Single-band LSH bucket id: `bits` sign bits of dot products with
+    * seeded pseudo-random hyperplanes. Hyperplane components are a
     * deterministic hash of (j, d) mapped to [-1, 1) — reproducible on any
-    * cluster without shipping matrices. */
-  def lshBucket(emb: Column, bits: Int, dim: Int, seed: Long = 7L): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val d = dot(emb, array((0 until dim).map(i => lit(hashUnit(seed, j, i))): _*))
-      when(d >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << j)
-    }
-    bitCols.reduce(_ + _)
-  }
+    * cluster without shipping matrices. (`dim` is kept for signature
+    * stability; the expression reads it from the array.) */
+  def lshBucket(emb: Column, bits: Int, dim: Int, seed: Long = 7L): Column =
+    element_at(lshBandKeys(emb, bits, 1, seed), 1)
 
   /** Deterministic pseudo-random unit in [-1, 1). */
-  def hashUnit(seed: Long, j: Int, i: Int): Double = {
-    var z = seed + j * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
+  def hashUnit(seed: Long, j: Int, i: Int): Double =
+    graft.functions.LshBandKeys.hashUnit(seed, j, i)
 
   /** LSH-bucketed ANN: assign every vector a bucket once (one narrow pass),
     * then the query probes only its own bucket. Returns top-k within the
@@ -120,21 +121,20 @@ object Ann {
       maxBucket: Int = 256,
       seed: Long = 7L
   ): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        lshBucket(col("embedding"), bits, dim, seed + b * 1000003L).as("key"))
-    }
+    // all band keys in one pass (native expression), then posexplode —
+    // the embedding is traversed once per row, not bands×bits times
     val bandedAll = embeddings
       .select(col("vec_id"), col("embedding"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(lshBandKeys(col("embedding"), bits, bands, seed))
+          .as(Seq("band", "key")))
     // skew guard: a degenerate bucket (e.g. the all-zeros region) would go
     // quadratic in the self-join — drop oversized buckets explicitly
-    // (inspect via bucketStats; not a silent cap)
-    val sizes = bandedAll.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("_bsz"))
-    val banded = bandedAll.join(sizes, Seq("band", "key"))
+    // (inspect via bucketStats; not a silent cap). A count-over-window is
+    // one shuffle on (band, key); the groupBy+join form was two plus a join.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key"))
+    val banded = bandedAll
+      .withColumn("_bsz", count(lit(1)).over(bw))
       .where(col("_bsz") <= maxBucket)
       .drop("_bsz")
     val a = banded.select(col("band"), col("key"),

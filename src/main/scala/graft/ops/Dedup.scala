@@ -147,14 +147,25 @@ object Dedup {
             transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")),
             ",")).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // bucket members, capped — a huge bucket is boilerplate, not near-dup
-    val buckets = banded
+    // bucket members, capped to the maxBucket smallest doc_ids — a huge
+    // bucket is boilerplate, not near-dup. The cap is applied with a
+    // row_number window BEFORE any aggregation so the bound protects the
+    // aggregation-buffer MEMORY, not just the pair output: the round-1
+    // `slice(sort_array(collect_list(...)))` form materialized a degenerate
+    // bucket's entire membership in one buffer — a 10^8-member boilerplate
+    // bucket at web scale OOMs the executor before the slice runs.
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val capped = banded
+      .withColumn("_rn", row_number().over(capW))
+      .where(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val buckets = capped
       .groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"),
-        count(lit(1)).as("bucket_size"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) >= 2)
     buckets
-      .select(explode(pairsOf(col("ids"))).as("p"), col("bucket_size"))
+      .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
   }

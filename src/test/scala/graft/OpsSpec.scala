@@ -42,6 +42,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 14.0 / 15.0) < 1e-12)
   }
 
+  test("minhash LSH: a degenerate bucket is capped pre-aggregation, pairs bounded") {
+    // 10k identical docs = one boilerplate bucket in every band. The cap
+    // must bound what any aggregation buffer sees (row_number pre-cap),
+    // and pair output must cover exactly the maxBucket smallest doc_ids.
+    val n = 10000
+    val boiler = (1 to n).map(i => (i.toLong, "b1 b2 b3 b4 b5 b6 b7 b8"))
+    val d = docs(boiler: _*)
+    val cap = 64
+    val pairs = Dedup.lshCandidatePairs(d, k = 32, bands = 16, shingleN = 3,
+      maxBucket = cap).collect()
+    assert(pairs.length == cap * (cap - 1) / 2)
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids == (1L to cap.toLong).toSet)
+  }
+
   test("simhash: identical texts share signature, near-identical are close") {
     val a = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
     val b = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
