@@ -34,12 +34,18 @@ object SpanEval {
   /** Score predicted vs gold span tables. Both inputs need columns
     * `(url, entity, lOffset, rOffset)`. */
   def score(pred: DataFrame, gold: DataFrame, fuzzy: Boolean): Metrics = {
+    // 1:1 accounting requires set semantics on both sides: duplicate
+    // identical spans would multiply through the equi-join and push
+    // fp = nPred - tp negative (HIPE operates on token-aligned columns
+    // where duplicates cannot occur; dedup restores that invariant here)
     val p = pred.select(
       col("url"), col("entity"),
       col("lOffset").cast("int").as("pl"), col("rOffset").cast("int").as("pr"))
+      .dropDuplicates("url", "entity", "pl", "pr")
     val g = gold.select(
       col("url"), col("entity"),
       col("lOffset").cast("int").as("gl"), col("rOffset").cast("int").as("gr"))
+      .dropDuplicates("url", "entity", "gl", "gr")
 
     val matched =
       if (!fuzzy)
@@ -48,15 +54,21 @@ object SpanEval {
             col("pl") === col("gl") && col("pr") === col("gr"))
           .select(p("url"), col("pl"), col("pr"), col("gl"), col("gr"))
       else {
-        // overlap candidates, then 1:1 greedy de-dup both ways
+        // overlap candidates, then 1:1 de-dup both ways. Candidate priority
+        // mirrors the HIPE scorer's per-pred scan (ner_eval.py
+        // compute_metrics): an exact-boundary match wins first (Scenario I
+        // before overlap scenarios — guarantees fuzzy TP >= strict TP),
+        // then the largest overlap, then leftmost offsets.
         val cand = p.join(g,
           p("url") === g("url") && p("entity") === g("entity") &&
             col("pl") < col("gr") && col("gl") < col("pr"))
           .select(p("url"), p("entity"), col("pl"), col("pr"), col("gl"), col("gr"))
+        val exact = (col("pl") === col("gl") && col("pr") === col("gr")).cast("int")
+        val overlap = least(col("pr"), col("gr")) - greatest(col("pl"), col("gl"))
         val byPred = Window.partitionBy(col("url"), col("entity"), col("pl"), col("pr"))
-          .orderBy(col("gl"), col("gr"))
+          .orderBy(exact.desc, overlap.desc, col("gl"), col("gr"))
         val byGold = Window.partitionBy(col("url"), col("entity"), col("gl"), col("gr"))
-          .orderBy(col("pl"), col("pr"))
+          .orderBy(exact.desc, overlap.desc, col("pl"), col("pr"))
         cand
           .withColumn("rp", row_number().over(byPred)).where(col("rp") === 1)
           .withColumn("rg", row_number().over(byGold)).where(col("rg") === 1)

@@ -14,6 +14,13 @@ object PunctTokenizer {
 
   final case class Token(text: String, start: Int, end: Int)
 
+  /** Python `str.split()` whitespace: `Character.isWhitespace` misses
+    * U+00A0 (NBSP) and other Unicode space separators that Python treats
+    * as whitespace — plausible in OCR'd historical text — so the predicate
+    * also includes `isSpaceChar`. */
+  @inline private def isSplitSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c)
+
   def tokenize(s: String): IndexedSeq[Token] = {
     // array-backed (Vector builders cost ~2x in the NER hot path)
     val out = new scala.collection.mutable.ArrayBuffer[Token](
@@ -22,13 +29,13 @@ object PunctTokenizer {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c.isWhitespace) i += 1
+      if (isSplitSpace(c)) i += 1
       else if (TextNorm.isPunct(c)) {
         out += Token(String.valueOf(c), i, i + 1)
         i += 1
       } else {
         val start = i
-        while (i < n && !s.charAt(i).isWhitespace && !TextNorm.isPunct(s.charAt(i)))
+        while (i < n && !isSplitSpace(s.charAt(i)) && !TextNorm.isPunct(s.charAt(i)))
           i += 1
         out += Token(s.substring(start, i), start, i)
       }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -107,6 +109,14 @@ class PipelineSpec extends AnyFunSuite {
     val m = KgPipeline.manifest(spark, dir)
     assert(m.count() == 4)
     assert(m.agg(sum("n_mentions")).head.getLong(0) == oneShot.count())
+    // unbucketed input was staged ONCE as a partitioned table — the
+    // per-bucket loop prunes partitions instead of rescanning the corpus
+    // B times
+    val staged = java.nio.file.Paths.get(dir, "_staging")
+    assert(Files.exists(staged), "bucket staging dir missing")
+    val stagedParts = Files.list(staged).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_bucket=")).toSeq
+    assert(stagedParts.sorted == (0 until 4).map(b => s"_bucket=$b"))
   }
 
   test("partial resume: wiping one bucket from the manifest recomputes only it") {

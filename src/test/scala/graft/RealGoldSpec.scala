@@ -72,9 +72,12 @@ class RealGoldSpec extends AnyFunSuite {
       f"F1=${fuzzy.f1}%.3f strict F1=${strict.f1}%.3f " +
       f"(gold=$nGold pred=$nPred)")
     assert(nGold > 50)
-    // measured 2026-08-16: fuzzy P=0.703 R=0.767 F1=0.734, strict F1=0.748
-    // (reference's BERT models: HIPE fuzzy F1 0.79-0.85, BASELINE.md) —
-    // pinned slightly below as the regression floor for the alias path
+    // measured 2026-08-16 (exact-match-first fuzzy pairing): fuzzy P=0.713
+    // R=0.773 F1=0.742, strict F1=0.735 — fuzzy >= strict as HIPE semantics
+    // require (reference's BERT models: HIPE fuzzy F1 0.79-0.85,
+    // BASELINE.md) — pinned slightly below as the alias-path floor
+    assert(fuzzy.f1 >= strict.f1,
+      f"fuzzy F1 ${fuzzy.f1}%.3f < strict ${strict.f1}%.3f — impossible under HIPE semantics")
     assert(fuzzy.f1 >= 0.70, f"fuzzy F1 regressed: ${fuzzy.f1}%.3f")
     assert(fuzzy.recall >= 0.72, f"fuzzy recall regressed: ${fuzzy.recall}%.3f")
     assert(strict.f1 >= 0.70, f"strict F1 regressed: ${strict.f1}%.3f")
