@@ -93,4 +93,90 @@ class HipeParitySpec extends AnyFunSuite {
       s"$base/unittest-ner-lit-coarse-3-pred.tsv.ref_results.json",
       _.neCoarseLit)
   }
+
+  // ---- full-report parity: every (type ∪ ALL) × regime section ---------
+
+  /** All (section, regime) → (TP, FP, FN) triples of a scorer ref JSON. */
+  private def expectedFull(file: String): Map[(String, String), (Long, Long, Long)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    val json = JsonMethods.parse(text).asInstanceOf[JObject]
+    (for {
+      (section, JObject(regimes)) <- json.obj
+      (regime, counts: JObject) <- regimes
+    } yield {
+      def grab(k: String): Long = counts \ k match {
+        case JInt(v) => v.toLong
+        case JDouble(v) => v.toLong
+        case other => fail(s"$file $section.$regime.$k: $other")
+      }
+      (section, regime) -> ((grab("TP"), grab("FP"), grab("FN")))
+    }).toMap
+  }
+
+  private def checkFullReport(pair: String, refJson: String,
+      column: TsvToken => String): Unit = {
+    val pred = spansDf(s"$base/unittest-$pair-pred.tsv", column)
+    val gold = spansDf(s"$base/unittest-$pair-true.tsv", column)
+    // the scorer upper-cases section names in its report; counts are keyed
+    // by the raw tag otherwise
+    val got = SpanEval.report(pred, gold).collect().map { r =>
+      (r.getAs[String]("eType").toUpperCase, r.getAs[String]("regime")) ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))
+    }.toMap
+    val exp = expectedFull(refJson)
+    exp.foreach { case (key @ (section, regime), want) =>
+      val have = got.getOrElse(key,
+        if (want == ((0L, 0L, 0L))) (0L, 0L, 0L)
+        else fail(s"$pair: report has no row for $key (expected $want); " +
+          s"have keys: ${got.keys.toSeq.sorted.mkString(", ")}"))
+      assert(have == want, s"$pair $section/$regime: got $have expected $want")
+    }
+  }
+
+  test("HIPE fixture ner-1: full report parity (per-type × 4 regimes)") {
+    assume(new java.io.File(base).isDirectory)
+    checkFullReport("ner-1",
+      s"$base/unittest-ner-1-pred.tsv.ner-coarse-lit_ref_results.json",
+      _.neCoarseLit)
+  }
+
+  test("HIPE fixture ner-2 coarse: full report parity (per-type × 4 regimes)") {
+    assume(new java.io.File(base).isDirectory)
+    checkFullReport("ner-2",
+      s"$base/unittest-ner-2-pred.tsv.coarse-lit_ref_results.json",
+      _.neCoarseLit)
+  }
+
+  test("HIPE fixture ner-2 fine: full report parity (per-type × 4 regimes)") {
+    assume(new java.io.File(base).isDirectory)
+    checkFullReport("ner-2",
+      s"$base/unittest-ner-2-pred.tsv.fine-lit_ref_results.json",
+      _.neFineLit)
+  }
+
+  test("HIPE fixture ner-lit-coarse-3: full report parity (per-type × 4 regimes)") {
+    assume(new java.io.File(base).isDirectory)
+    checkFullReport("ner-lit-coarse-3",
+      s"$base/unittest-ner-lit-coarse-3-pred.tsv.ref_results.json",
+      _.neCoarseLit)
+  }
+
+  test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
+    import spark.implicits._
+    // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
+    // mean only); doc C: 0 golds, 1 pred (enters P mean only)
+    val gold = Seq(
+      ("A", "LOC", 0, 5), ("B", "LOC", 0, 5)).toDF("url", "entity", "lOffset", "rOffset")
+    val pred = Seq(
+      ("A", "LOC", 0, 5), ("C", "LOC", 0, 5)).toDF("url", "entity", "lOffset", "rOffset")
+    val m = SpanEval.macroDocScores(pred, gold).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // strict: P_macro_doc = mean(A: 1, C: 0) = 0.5; R = mean(A: 1, B: 0) =
+    // 0.5; F1 = mean over docs with both (A only) = 1
+    assert(m("strict") == ((0.5, 0.5, 1.0)))
+    assert(m("ent_type") == ((0.5, 0.5, 1.0)))
+  }
 }
