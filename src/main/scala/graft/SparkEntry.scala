@@ -359,6 +359,19 @@ object SparkEntry {
         .getSeq[Float](0)
       Ann.topKCosineLsh(emb, q, 10, bits = 4)
     }),
+    // per-year bipartite graph metrics (density + components incl.
+    // isolated existing nodes) — one CC job for all years; rows-only
+    // (inputs are the synthetic NER output), spec-checked vs a
+    // hand-computed graph in EvalGraphSpec
+    "kg10_graph_metrics" -> ((s, _) => {
+      val analytic = GraphMaterialize.analyticMentions(kgMentions(s))
+      val edges = GraphMaterialize.yearlyEdges(analytic)
+      val ag = GraphMaterialize.agencyDim(s).select(
+        col("agency").as("node"), col("start_year"), col("end_year"))
+      val np = GraphMaterialize.newspaperIntervals(analytic)
+      GraphMaterialize.yearlyGraphMetrics(edges, ag, np)
+    }),
+
     // embedding-cosine near-dup: planted near-identical copies (each
     // vector with its first component nudged) must pair with their source
     "kg09_embedding_neardup" -> ((s, dir) => {

@@ -54,4 +54,11 @@ object ArticleId {
     * (`postprocess.py:54-66`): `<url>:<l>:<r>:newsag:bert_<lang>`. */
   def mentionId(url: String, l: Int, r: Int, lang: String): String =
     s"$url:$l:$r:newsag:bert_$lang"
+
+  /** Generation-1 mention-id grammar, sentence-offset form
+    * (`cli_tagger.py:220-222`):
+    * `<url>:<sentIdx>:<lSent>:<rSent>:<lArt>:<rArt>:newsag:bert_<lang>`. */
+  def mentionIdGen1(url: String, sentIdx: Int, lSent: Int, rSent: Int,
+      lArt: Int, rArt: Int, lang: String): String =
+    s"$url:$sentIdx:$lSent:$rSent:$lArt:$rArt:newsag:bert_$lang"
 }

@@ -28,13 +28,22 @@ final case class Article(
   */
 final case class Sentence(url: String, idx: Int, start: Int, text: String)
 
-/** A detected agency mention, article-offset form
-  * (reference: `cli_tagger.py:211-222` and `postprocess.py:54-66`).
+/** A detected agency mention, carrying BOTH offset systems so all three
+  * reference schema generations (SURVEY §1.3) are representable:
+  *
+  *  - generation 1, sentence-offset form (`cli_tagger.py:211-222`):
+  *    `lSentenceOffset`/`rSentenceOffset` + [[idGen1]]'s 8-field grammar;
+  *  - generation 2, article-offset form (`postprocess.py:54-66`): `lOffset`/
+  *    `rOffset` + the 5-field `id` carried here;
+  *  - generation 3, nested 2024 form (`tests/na_tagger_out.jsonl`): rollup
+  *    via `JsonlArticles.writeNested2024`.
   *
   * `entity` is the fine BIO-stripped label (`org.ent.pressagency.<Agency>`),
   * `surface` the raw text slice `[lOffset, rOffset)`, `qid` the linked
   * Wikidata id or "NIL", `confidence` the mean span score.
-  * `id = <url>:<lOffset>:<rOffset>:newsag:bert_<lang>`.
+  * `id = <url>:<lOffset>:<rOffset>:newsag:bert_<lang>`. Sentence offsets of
+  * mentions produced by article-level occurrence expansion are recomputed
+  * from the segmenter (see `Linker.expandOccurrences`).
   */
 final case class Mention(
     url: String,
@@ -43,12 +52,20 @@ final case class Mention(
     name: String,
     qid: String,
     sentenceIdx: Int,
+    lSentenceOffset: Int,
+    rSentenceOffset: Int,
     lOffset: Int,
     rOffset: Int,
     confidence: Double,
     lang: String,
     id: String
-)
+) {
+  /** Generation-1 composite id (`cli_tagger.py:220-222`):
+    * `<url>:<sent>:<lSent>:<rSent>:<lArt>:<rArt>:newsag:bert_<lang>`. */
+  def idGen1: String =
+    ArticleId.mentionIdGen1(url, sentenceIdx, lSentenceOffset,
+      rSentenceOffset, lOffset, rOffset, lang)
+}
 
 /** A (subject, predicate, object) triple of the materialized graph.
   * Predicates used: `mentions_agency` (article → agency QID) and

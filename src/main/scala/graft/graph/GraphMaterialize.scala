@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Gazetteer, Mention, Triple}
@@ -107,6 +107,99 @@ object GraphMaterialize {
       .groupBy(col("ag1"), col("ag2"), col("year"))
       .agg(count(lit(1)).as("n_newspapers"),
         sum(col("freq1")).as("freq1"), sum(col("freq2")).as("freq2"))
+
+  /** Newspaper existence intervals derived from corpus presence, the
+    * analog of the reference's newspaper node attributes
+    * (`network_analysis.ipynb cells 15-16`). */
+  def newspaperIntervals(analytic: DataFrame): DataFrame =
+    analytic.groupBy(col("newspaper").as("node"))
+      .agg(min(col("year")).as("start_year"), max(col("year")).as("end_year"))
+
+  /** Per-year bipartite graph metrics over a (thresholded) yearly edge
+    * table — the DataFrame equivalent of `get_density_of_year` /
+    * `get_components_of_year` (`network_analysis.ipynb cells 25-28`):
+    *
+    *  - node sets per year = dims whose existence interval covers the year
+    *    (`get_graph_of_year` keeps isolated existing nodes);
+    *  - edges per year = distinct (newspaper, agency) pairs of that year,
+    *    both endpoints existing (the nx subgraph drops edges to
+    *    out-of-interval nodes);
+    *  - `density` = E / (n_ag · n_np)  (`bipartite.density` on the
+    *    undirected simple graph);
+    *  - `n_components` = connected components of the year's edge graph
+    *    plus one per isolated existing node
+    *    (`nx.number_connected_components` with drop_lonely_nodes=False).
+    *
+    * Scale shape: ALL years are solved by ONE connected-components run over
+    * composite (year|node) keys — no per-year job loop; the dimension
+    * tables are broadcast.
+    *
+    * Inputs: `edges(newspaper, agency, year, …)`; interval tables
+    * `(node, start_year, end_year)` (see [[agencyDim]] /
+    * [[newspaperIntervals]]).
+    */
+  def yearlyGraphMetrics(
+      edges: DataFrame,
+      agencyIntervals: DataFrame,
+      npIntervals: DataFrame
+  ): DataFrame = {
+    val years = edges
+      .agg(min(col("year")).as("y0"), max(col("year")).as("y1"))
+      .select(explode(sequence(col("y0"), col("y1"))).as("year"))
+      .localCheckpoint()
+
+    def existing(dim: DataFrame): DataFrame =
+      years.join(broadcast(dim),
+        col("year").between(col("start_year"), col("end_year")))
+        .select(col("year"), col("node"))
+    val agY = existing(agencyIntervals)
+    val npY = existing(npIntervals)
+
+    // distinct simple-graph edges of each year, endpoints existing
+    val eY = edges.select(col("newspaper"), col("agency"), col("year")).distinct()
+      .join(broadcast(agY.select(col("year"), col("node").as("agency"))),
+        Seq("year", "agency"), "left_semi")
+      .join(broadcast(npY.select(col("year"), col("node").as("newspaper"))),
+        Seq("year", "newspaper"), "left_semi")
+      .localCheckpoint()
+
+    def nodeKey(side: String, node: Column): Column =
+      xxhash64(concat_ws("|", col("year").cast("string"), lit(side), node))
+    val ccEdges = eY.select(
+      nodeKey("np", col("newspaper")).as("src"),
+      nodeKey("ag", col("agency")).as("dst"))
+    val labels = graft.canon.ConnectedComponents.run(ccEdges)
+    val yearOfNode = eY.select(col("year"), nodeKey("np", col("newspaper")).as("node"))
+      .unionByName(eY.select(col("year"), nodeKey("ag", col("agency")).as("node")))
+      .distinct()
+    val edgeComps = labels.join(yearOfNode, "node")
+      .groupBy(col("year"))
+      .agg(countDistinct(col("component")).as("n_edge_components"))
+
+    val nAg = agY.groupBy(col("year")).agg(count(lit(1)).as("n_ag"))
+    val nNp = npY.groupBy(col("year")).agg(count(lit(1)).as("n_np"))
+    val nEdges = eY.groupBy(col("year")).agg(count(lit(1)).as("n_edges"))
+    val connectedCounts = yearOfNode.groupBy(col("year"))
+      .agg(count(lit(1)).as("n_connected_nodes"))
+
+    years
+      .join(nAg, Seq("year"), "left")
+      .join(nNp, Seq("year"), "left")
+      .join(nEdges, Seq("year"), "left")
+      .join(edgeComps, Seq("year"), "left")
+      .join(connectedCounts, Seq("year"), "left")
+      .na.fill(0L, Seq("n_ag", "n_np", "n_edges", "n_edge_components",
+        "n_connected_nodes"))
+      .withColumn("density",
+        when(col("n_ag") > 0 && col("n_np") > 0,
+          col("n_edges").cast("double") / (col("n_ag") * col("n_np")))
+          .otherwise(0.0))
+      .withColumn("n_components",
+        col("n_edge_components") +
+          (col("n_ag") + col("n_np") - col("n_connected_nodes")))
+      .select(col("year"), col("n_ag"), col("n_np"), col("n_edges"),
+        col("density"), col("n_components"))
+  }
 
   /** A10: positional statistics — is the mention within the first/last 11
     * chars of the article, averaged per decade (reference

@@ -56,12 +56,18 @@ object Linker {
     mentions.toDF()
       .join(articleText.select(col("url"), col("text").as("_text")), "url")
       .select(col("url"), col("entity"), col("surface"), col("name"),
-        col("qid"), col("sentenceIdx"), col("confidence"), col("lang"),
-        col("_text"))
-      .as[(String, String, String, String, String, Int, Double, String, String)]
-      .flatMap { case (url, entity, surface, name, qid, sentIdx, conf, lang, text) =>
+        col("qid"), col("confidence"), col("lang"), col("_text"))
+      .as[(String, String, String, String, String, Double, String, String)]
+      .flatMap { case (url, entity, surface, name, qid, conf, lang, text) =>
+        // re-segment once per article so every expanded occurrence carries
+        // its TRUE sentence index and sentence offsets (the original
+        // mention's sentenceIdx is wrong for other occurrences)
+        val sents = graft.text.Segmenter.segmentWithOffsets(text)
         occurrences(text, surface).map { case (s, e) =>
-          Mention(url, entity, surface, name, qid, sentIdx, s, e, conf, lang,
+          val si = sents.lastIndexWhere(_._1 <= s)
+          val sentStart = if (si >= 0) sents(si)._1 else 0
+          Mention(url, entity, surface, name, qid,
+            math.max(si, 0), s - sentStart, e - sentStart, s, e, conf, lang,
             graft.core.ArticleId.mentionId(url, s, e, lang))
         }
       }

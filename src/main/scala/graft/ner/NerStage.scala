@@ -88,6 +88,8 @@ object NerStage {
                 name = name,
                 qid = Gazetteer.qidOf(entity),
                 sentenceIdx = sentIdx,
+                lSentenceOffset = sp.start,
+                rSentenceOffset = sp.end,
                 lOffset = l,
                 rOffset = r,
                 confidence = sp.confidence,

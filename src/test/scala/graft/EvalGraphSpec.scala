@@ -72,7 +72,7 @@ class EvalGraphSpec extends AnyFunSuite {
     import spark.implicits._
     spark.createDataset(rows.map { case (url, ent) =>
       graft.core.Mention(url, ent, "x", ent.split('.').last,
-        graft.core.Gazetteer.qidOf(ent), 0, 0, 1, 0.9, "fr",
+        graft.core.Gazetteer.qidOf(ent), 0, 0, 1, 0, 1, 0.9, "fr",
         s"$url:0:1:newsag:bert_fr")
     })
   }
@@ -123,6 +123,31 @@ class EvalGraphSpec extends AnyFunSuite {
     val yearly = GraphMaterialize.coCitationYearly(analytic).collect()
     assert(yearly.length == 1)
     assert(yearly.head.getLong(3) == 1) // one newspaper co-cites the pair
+  }
+
+  test("per-year graph metrics: bipartite density + components incl. isolated nodes") {
+    import spark.implicits._
+    // 1936: edges GDL-Havas, GDL-Reuters, JDG-Reuters (one component) +
+    //       isolated existing AFP → 2 components; density 3/(3·2)=0.5
+    // 1937 (gap year, no edges): GDL gone (interval ends 1936); the 4
+    //       existing nodes (3 agencies + JDG) all isolated → 4 components
+    // 1950: Havas dead (interval ends 1944); edge JDG-Reuters + isolated
+    //       AFP → 2 components; density 1/(2·1)=0.5
+    val edges = Seq(
+      ("GDL", "Havas", 1936), ("GDL", "Reuters", 1936),
+      ("JDG", "Reuters", 1936), ("JDG", "Reuters", 1950))
+      .toDF("newspaper", "agency", "year")
+    val ag = Seq(("Havas", 1835, 1944), ("Reuters", 1840, 2020),
+      ("AFP", 1840, 2020)).toDF("node", "start_year", "end_year")
+    val np = Seq(("GDL", 1936, 1936), ("JDG", 1936, 1950))
+      .toDF("node", "start_year", "end_year")
+    val m = GraphMaterialize.yearlyGraphMetrics(edges, ag, np).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(m(1936) == ((3L, 2L, 3L, 0.5, 2L)))
+    assert(m(1937) == ((3L, 1L, 0L, 0.0, 4L)))
+    assert(m(1950) == ((2L, 1L, 1L, 0.5, 2L)))
+    assert(m.size == 15) // full closed year range 1936..1950
   }
 
   test("GEXF export is well-formed and complete") {

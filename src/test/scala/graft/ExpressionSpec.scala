@@ -41,7 +41,7 @@ class ExpressionSpec extends AnyFunSuite {
     val text = "Reuters dit que Reuters confirme."
     val m = graft.core.Mention(
       "GDL-1936-05-02-a-i0001", "org.ent.pressagency.Reuters", "Reuters",
-      "Reuters", "Q130879", 0, 0, 7, 0.99, "fr",
+      "Reuters", "Q130879", 0, 0, 7, 0, 7, 0.99, "fr",
       "GDL-1936-05-02-a-i0001:0:7:newsag:bert_fr")
     val mentions = Seq(m).toDS()
     val texts = Seq(("GDL-1936-05-02-a-i0001", text)).toDF("url", "text")

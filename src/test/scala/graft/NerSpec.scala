@@ -104,11 +104,83 @@ class NerSpec extends AnyFunSuite {
     assert(ms.find(_.name == "Havas").get.surface == "Havaas")
     assert(ms.find(_.name == "Havas").get.qid == "Q2826560")
     assert(ms.find(_.name == "Havas").get.sentenceIdx == 1)
+    // generation-1 (sentence-offset) form: offsets slice the SENTENCE, and
+    // the 8-field id follows cli_tagger.py:220-222
+    val sents = graft.text.Segmenter.segmentWithOffsets(text)
+    ms.foreach { m =>
+      val (sentStart, sent) = sents(m.sentenceIdx)
+      assert(sent.substring(m.lSentenceOffset, m.rSentenceOffset) == m.surface)
+      assert(m.lOffset == sentStart + m.lSentenceOffset)
+      assert(m.idGen1 == s"${a.url}:${m.sentenceIdx}:${m.lSentenceOffset}:" +
+        s"${m.rSentenceOffset}:${m.lOffset}:${m.rOffset}:newsag:bert_fr")
+    }
   }
 
   test("detectOne drops nothing valid and finds nothing in empty text") {
     val a = Article("JDG-1951-02-26-a-i0080", null, Array.empty,
       "DERNIERES NOUVELLES ", "fr", "ar")
     assert(NerStage.detectOne(a, scorer).isEmpty)
+  }
+
+  // --- batched tensor path: WordPiece encode → logits → softmax →
+  //     realign → decode (LinearTokenScorer, M6/M7/M10) ---
+
+  private val linear = new graft.ner.LinearTokenScorer
+
+  test("linear scorer: multi-piece word scores through encode+realign, real softmax conf") {
+    // "Reuters" is deliberately split (Reu, ##ters) by the toy vocab, so a
+    // correct label on the word proves first-piece realignment works
+    val out = linear.score(PunctTokenizer.tokens("selon Reuters hier"))
+    assert(out.map(_._1) ==
+      Seq("O", "B-org.ent.pressagency.Reuters", "O"))
+    val conf = out(1)._2
+    // genuine softmax probability — not one of the trie's constants
+    assert(conf > 0.5 && conf < 1.0)
+    assert(conf != graft.ner.AliasTrieScorer.CanonicalConfidence &&
+      conf != graft.ner.AliasTrieScorer.VariantConfidence)
+    // O tokens carry real probabilities too
+    assert(out(0)._2 > 0.0 && out(0)._2 < 1.0)
+  }
+
+  test("linear scorer: bigram context makes continuation words I-, not B-") {
+    // "Havas" alone is B-; preceded by "Agence" (the alias "Agence Havas")
+    // the bigram weight flips it to I- — a contextual decision the tensor
+    // path must express
+    val alone = linear.score(PunctTokenizer.tokens("selon Havas hier"))
+    assert(alone.map(_._1) == Seq("O", "B-org.ent.pressagency.Havas", "O"))
+    val ctx = linear.score(PunctTokenizer.tokens("selon Agence Havas hier"))
+    assert(ctx.map(_._1) == Seq("O",
+      "B-org.ent.pressagency.Havas", "I-org.ent.pressagency.Havas", "O"))
+    // decoded span covers both words
+    val toks = PunctTokenizer.tokenize("selon Agence Havas hier")
+    val spans = BioDecode.decode(toks, ctx.map(_._1), ctx.map(_._2))
+    assert(spans.length == 1)
+    assert(spans.head.label == "org.ent.pressagency.Havas")
+  }
+
+  test("linear scorer: batch path equals per-sentence path; fixed-shape truncation → O") {
+    val sents = Seq(
+      "selon Reuters hier",
+      "Agence Havas annonce",
+      "rien ici").map(PunctTokenizer.tokens)
+    assert(linear.scoreBatch(sents) == sents.map(linear.score))
+    // a sentence longer than MaxLen pieces: overflow words realign to O
+    val long = IndexedSeq.fill(graft.ner.LinearTokenScorer.MaxLen + 10)("mot") ++
+      IndexedSeq("Reuters")
+    val out = linear.score(long)
+    assert(out.length == long.length)
+    assert(out.last._1 == "O") // truncated away, not hallucinated
+  }
+
+  test("detectOne with the linear scorer matches the trie on unambiguous text") {
+    val text = "Le ministre annonce selon Reuters une loi. La suite selon Agence Havas demain."
+    val a = Article("GDL-1930-10-11-a-i0011", null, Array.empty, text, "fr", "ar")
+    val viaLinear = NerStage.detectOne(a, linear)
+    val viaTrie = NerStage.detectOne(a, scorer)
+    assert(viaLinear.map(m => (m.surface, m.entity, m.lOffset, m.rOffset)) ==
+      viaTrie.map(m => (m.surface, m.entity, m.lOffset, m.rOffset)))
+    // confidences flow from the softmax, not from constants
+    assert(viaLinear.map(_.confidence).forall(c => c > 0.0 && c < 1.0))
+    assert(viaLinear.map(_.confidence) != viaTrie.map(_.confidence))
   }
 }
