@@ -5,20 +5,25 @@ import org.apache.spark.sql.functions._
 
 /** Catalyst-only connected components (SURVEY L5, §4.2 item 4).
   *
-  * Iterative minimum-label propagation expressed purely with DataFrame ops
-  * (no RDDs, no GraphX): every node starts labeled with itself; each round
-  * every node takes the min of its own label and its neighbors' labels;
-  * convergence in O(diameter) rounds. Alias/canonicalization graphs are
-  * star-shaped (surface ↔ agency ↔ qid), so the diameter is tiny (≤ 4) and
-  * min-propagation beats the log-round large-star/small-star contraction in
-  * both simplicity and per-round cost at this shape.
+  * Iterative minimum-label propagation with pointer doubling, expressed
+  * purely with DataFrame ops (no RDDs, no GraphX): every node starts
+  * labeled with itself; each round every node takes the min of its own
+  * label and its neighbors' labels, then compresses one pointer-chain hop
+  * (`component := label(component)`), so convergence is O(log diameter)
+  * rounds — star-shaped alias graphs finish in 2-3, long bipartite
+  * co-citation chains in ~log₂(d).
   *
   * Scale notes:
   *  - the per-round aggregate is `min(label)` per node — partially
   *    aggregable, so Reuters-scale hub nodes (millions of incident edges)
   *    combine map-side before the shuffle; skew does not concentrate;
-  *  - each round `localCheckpoint()`s the label table to cut lineage
-  *    (unbounded plan growth is the classic failure of DataFrame loops);
+  *  - each round materializes ONE lazy `localCheckpoint`, triggered by the
+  *    same action that tests convergence — one Spark job per round total
+  *    (the round-1 loop ran three: propagation checkpoint, shortcut
+  *    checkpoint, and a convergence join), and lineage is cut each round
+  *    (unbounded plan growth is the classic failure of DataFrame loops —
+  *    doubly so here, where the shortcut self-join would double the plan
+  *    every round);
   *  - the edge table is materialized once (symmetric, deduped) and reused
   *    every round — one shuffle per round on `node`.
   *
@@ -26,6 +31,10 @@ import org.apache.spark.sql.functions._
   * `component`) with `component` = min node id of the component.
   */
 object ConnectedComponents {
+
+  /** Rounds used by the most recent [[run]] — observability for specs and
+    * capacity math (the loop's shuffle count is rounds × per-round stages). */
+  @volatile var lastRunIterations: Int = 0
 
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges
@@ -45,31 +54,38 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // pointer doubling FIRST, against the checkpointed label table (both
+      // branches of the self-join read materialized data, so no extra
+      // materialization pass is needed): component := label(component)
+      val compressed = labels
+        .join(labels.select(col("node").as("component"),
+          col("component").as("_cc2")), Seq("component"), "left")
+        .select(col("node"), col("component").as("_old"),
+          coalesce(col("_cc2"), col("component")).as("component"))
       // each node's best incoming proposal: min label among its neighbors
       val proposals = sym
-        .join(labels.withColumnRenamed("node", "b"), "b")
+        .join(compressed.select(col("node").as("b"), col("component")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("nbrMin"))
-      // carry the old label through the propagation select so convergence
-      // detection is a narrow filter over the (eagerly materialized)
-      // checkpoint — the round-1 form re-joined next⋈labels per round,
-      // doubling the loop's shuffle count
-      val next = labels
+      // lazy checkpoint: the convergence count below is the ONE action of
+      // the round — it materializes the new label table and answers
+      // "did anything change" in the same job. `_old` is the pre-round
+      // label, so `changed == 0` means compression AND propagation are
+      // both at fixpoint.
+      val next = compressed
         .join(proposals, Seq("node"), "left")
         .select(
           col("node"),
-          col("component").as("_old"),
+          col("_old"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
             .as("component"))
-        .localCheckpoint()
-      val changed = next
-        .where(col("component") =!= col("_old"))
-        .limit(1)
-        .count()
+        .localCheckpoint(eager = false)
+      val changed = next.where(col("component") =!= col("_old")).count()
       labels = next.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
+    lastRunIterations = iter
     labels
   }
 }

@@ -148,10 +148,15 @@ object GraphMaterialize {
       .select(explode(sequence(col("y0"), col("y1"))).as("year"))
       .localCheckpoint()
 
+    // materialized once: these tiny (year, node) tables are reused by the
+    // edge filter, the counts and the isolated-node calc — without the
+    // checkpoint each reuse would re-evaluate the dim's upstream (for
+    // npIntervals that is the whole NER pipeline)
     def existing(dim: DataFrame): DataFrame =
       years.join(broadcast(dim),
         col("year").between(col("start_year"), col("end_year")))
         .select(col("year"), col("node"))
+        .localCheckpoint()
     val agY = existing(agencyIntervals)
     val npY = existing(npIntervals)
 

@@ -52,7 +52,7 @@ object Dedup {
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array(array_join(toks, " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Convenience single-expression form — only for one-shot use on small
     * inputs; hot paths must stage (see [[shinglesFromToks]]). */
@@ -78,6 +78,8 @@ object Dedup {
   def minhashSignatureScala(text: String, k: Int, n: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (text == null) return sig
+    // < n tokens → no shingles → empty (all-MaxValue) signature, matching
+    // shinglesFromToks' empty-array branch
     // token start/end offsets (single-space tokenization semantics)
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     starts += 0
@@ -101,13 +103,13 @@ object Dedup {
       while (p < until) { h = (h ^ text.charAt(p)) * 0x100000001B3L; p += 1 }
       mix(h)
     }
-    val nShingles = math.max(1, nToks - n + 1)
+    if (nToks < n) return sig
+    val nShingles = nToks - n + 1
     var s = 0
     while (s < nShingles) {
       val from = starts(s)
       val until =
-        if (nToks < n) text.length
-        else if (s + n < nToks) starts(s + n) - 1
+        if (s + n < nToks) starts(s + n) - 1
         else text.length
       val h = shingleHash(from, until)
       var j = 0
@@ -138,7 +140,12 @@ object Dedup {
     require(k == 32 && shingleN == 3,
       "signature UDF is specialized to k=32, n=3 (see minhashUdf32)")
     val rows = k / bands
-    val sig = docs.select(col("doc_id"), minhashUdf32(col("text")).as("sig"))
+    // docs with fewer than n tokens have NO shingles (aligned with the
+    // exhaustive oracle, which drops them via a NULL jaccard) — gate them
+    // out before banding so they cannot collide into one degenerate bucket
+    val sig = docs
+      .where(size(split(col("text"), " ")) >= shingleN)
+      .select(col("doc_id"), minhashUdf32(col("text")).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
