@@ -54,8 +54,91 @@ object NerStage {
     }
   }
 
-  /** Pure per-article detection — unit-testable without Spark. */
+  /** Pure per-article detection — unit-testable without Spark. Dispatches
+    * to the zero-allocation range path when the scorer supports it
+    * (the alias trie does); model-backed scorers take the batched
+    * string-token path. Both paths are mention-identical (differential
+    * property test in NerSpec). */
   def detectOne(
+      a: Article,
+      scorer: TokenScorer,
+      sentenceBatch: Int = 64
+  ): Seq[Mention] = scorer match {
+    case r: RangeTokenScorer => detectOneRanges(a, r)
+    case _ => detectOneStrings(a, scorer, sentenceBatch)
+  }
+
+  /** Range fast path: segmentation, tokenization and trie matching all
+    * work on `(start << 32) | end` offsets into the article text — the
+    * only per-token allocations left are the output labels array entries
+    * (shared constants) and, for matches only, the mention fields. The
+    * round-1 profile put token substrings at ~65% of per-doc cost. */
+  private[graft] def detectOneRanges(
+      a: Article,
+      scorer: RangeTokenScorer
+  ): Seq[Mention] = {
+    val text = a.text
+    val sents = Segmenter.segmentRanges(text)
+    val out = Seq.newBuilder[Mention]
+    var labels = new Array[String](64)
+    var confs = new Array[Double](64)
+    var si = 0
+    while (si < sents.length) {
+      val sr = sents(si)
+      val sentStart = (sr >>> 32).toInt
+      val sentEnd = (sr & 0xffffffffL).toInt
+      val toks = PunctTokenizer.tokenizeRanges(text, sentStart, sentEnd)
+      val n = toks.length
+      if (n > labels.length) {
+        labels = new Array[String](math.max(n, labels.length * 2))
+        confs = new Array[Double](labels.length)
+      }
+      scorer.scoreRanges(text, toks, n, labels, confs)
+      // inline BIO decode over the arrays (the trie emits plain B-/I-/O)
+      var i = 0
+      while (i < n) {
+        val t = labels(i)
+        if (t.length > 2 && t.charAt(0) == 'B' && t.charAt(1) == '-') {
+          val spanLabel = t.substring(2)
+          val iTag = "I-" + spanLabel
+          var j = i + 1
+          var confSum = confs(i)
+          while (j < n && labels(j) == iTag) { confSum += confs(j); j += 1 }
+          val l = (toks(i) >>> 32).toInt
+          val r = (toks(j - 1) & 0xffffffffL).toInt
+          val entity = Gazetteer.normalizeLabel(spanLabel)
+          val name = entity.split('.').last
+          val surface = text.substring(l, r)
+          // F3 post-filters (cli_tagger.py:163-166)
+          val keep = surface.length > 1 &&
+            !(surface.length == 1 && graft.text.TextNorm.isPunct(surface.head))
+          if (keep) {
+            out += Mention(
+              url = a.url,
+              entity = entity,
+              surface = surface,
+              name = name,
+              qid = Gazetteer.qidOf(entity),
+              sentenceIdx = si,
+              lSentenceOffset = l - sentStart,
+              rSentenceOffset = r - sentStart,
+              lOffset = l,
+              rOffset = r,
+              confidence = confSum / (j - i),
+              lang = a.lang,
+              id = ArticleId.mentionId(a.url, l, r, a.lang)
+            )
+          }
+          i = j
+        } else i += 1
+      }
+      si += 1
+    }
+    out.result()
+  }
+
+  /** String-token path (the batched model contract). */
+  private[graft] def detectOneStrings(
       a: Article,
       scorer: TokenScorer,
       sentenceBatch: Int = 64

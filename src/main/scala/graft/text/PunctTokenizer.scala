@@ -46,4 +46,29 @@ object PunctTokenizer {
   /** Plain token strings, byte-compatible with the reference's
     * `tokenize(text)` list. */
   def tokens(s: String): IndexedSeq[String] = tokenize(s).map(_.text)
+
+  /** Range form over `text[from, until)`: token boundaries as packed
+    * `(start << 32) | end` longs with ABSOLUTE offsets into `text` and no
+    * substring allocation — the NER hot path's tokenizer (substrings were
+    * the round-1 profile's dominant cost). Same split semantics as
+    * [[tokenize]], property-locked in TextSpec. */
+  def tokenizeRanges(text: String, from: Int, until: Int): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      math.max(8, (until - from) / 5))
+    var i = from
+    while (i < until) {
+      val c = text.charAt(i)
+      if (isSplitSpace(c)) i += 1
+      else if (TextNorm.isPunct(c)) {
+        out += (i.toLong << 32) | (i + 1).toLong
+        i += 1
+      } else {
+        val start = i
+        while (i < until && !isSplitSpace(text.charAt(i)) &&
+          !TextNorm.isPunct(text.charAt(i))) i += 1
+        out += (start.toLong << 32) | i.toLong
+      }
+    }
+    out.toArray
+  }
 }

@@ -41,9 +41,30 @@ object NerProfile {
         })
       acc
     }
-    time("detectOne_full") {
+    // range fast path (what detectOne dispatches to for the trie)
+    time("segmentRanges") {
       var acc = 0L
-      articles.foreach(a => acc += NerStage.detectOne(a, scorer).length)
+      articles.foreach(a => acc += Segmenter.segmentRanges(a.text).length)
+      acc
+    }
+    time("seg+tokRanges") {
+      var acc = 0L
+      articles.foreach { a =>
+        Segmenter.segmentRanges(a.text).foreach { sr =>
+          acc += PunctTokenizer.tokenizeRanges(a.text,
+            (sr >>> 32).toInt, (sr & 0xffffffffL).toInt).length
+        }
+      }
+      acc
+    }
+    time("detectOne_ranges") {
+      var acc = 0L
+      articles.foreach(a => acc += NerStage.detectOneRanges(a, scorer).length)
+      acc
+    }
+    time("detectOne_strings") {
+      var acc = 0L
+      articles.foreach(a => acc += NerStage.detectOneStrings(a, scorer).length)
       acc
     }
   }

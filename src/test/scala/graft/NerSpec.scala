@@ -122,6 +122,32 @@ class NerSpec extends AnyFunSuite {
     assert(NerStage.detectOne(a, scorer).isEmpty)
   }
 
+  test("range fast path ≡ string path: mention-identical on adversarial synthetic text") {
+    val rng = new scala.util.Random(2023)
+    val aliasPool = graft.core.Gazetteer.SurfaceAliases.keys.toSeq.sorted
+    val fillers = Seq("le", "ministre", "annonce", "selon", "la", "dépêche",
+      "hier", "M.", "Dupont", "a", "dit", "que", "(", ")", ",", "1936",
+      "Agence", "Havas", "Reu", "ters", "A.F.P", "…", "«citation»")
+    (1 to 200).foreach { caseIdx =>
+      val nWords = 1 + rng.nextInt(60)
+      val words = (0 until nWords).map { _ =>
+        if (rng.nextInt(4) == 0) aliasPool(rng.nextInt(aliasPool.length))
+        else fillers(rng.nextInt(fillers.length))
+      }
+      val sep = () => rng.nextInt(6) match {
+        case 0 => ". "
+        case 1 => "  "
+        case 2 => " "
+        case _ => " "
+      }
+      val text = words.map(w => w + sep()).mkString
+      val a = Article(s"GDL-1930-10-11-a-i$caseIdx", null, Array.empty, text, "fr", "ar")
+      val fast = NerStage.detectOne(a, scorer)
+      val slow = NerStage.detectOneStrings(a, scorer)
+      assert(fast == slow, s"case $caseIdx diverged on text: $text")
+    }
+  }
+
   // --- batched tensor path: WordPiece encode → logits → softmax →
   //     realign → decode (LinearTokenScorer, M6/M7/M10) ---
 

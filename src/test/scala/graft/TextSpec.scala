@@ -90,6 +90,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizeRanges ≡ tokenize boundaries (property, incl. sub-ranges)") {
+    randomStrings(500).foreach { s =>
+      val viaTokens = PunctTokenizer.tokenize(s).map(t => (t.start, t.end))
+      val viaRanges = PunctTokenizer.tokenizeRanges(s, 0, s.length)
+        .map(r => ((r >>> 32).toInt, (r & 0xffffffffL).toInt)).toSeq
+      assert(viaRanges == viaTokens, s"input: ${s.map(_.toInt)}")
+      // a sub-range tokenizes like the substring, offsets shifted
+      if (s.length >= 4) {
+        val from = s.length / 4
+        val until = s.length - s.length / 4
+        val sub = PunctTokenizer.tokenize(s.substring(from, until))
+          .map(t => (t.start + from, t.end + from))
+        val subR = PunctTokenizer.tokenizeRanges(s, from, until)
+          .map(r => ((r >>> 32).toInt, (r & 0xffffffffL).toInt)).toSeq
+        assert(subR == sub)
+      }
+    }
+  }
+
   // --- segmenter ---
 
   test("segmenter offsets are exact slices") {
