@@ -36,7 +36,14 @@ object NerStage {
         col("lang").isin(SupportedLangs.toSeq: _*) &&
         col("text").isNotNull && length(col("text")) > 2)
 
-  /** Detect mentions. `numPartitions <= 0` keeps the input partitioning. */
+  /** Detect mentions. `numPartitions <= 0` keeps the input partitioning.
+    *
+    * The scan is COLUMN-PRUNED to `(url, text, lang, tp)` before the object
+    * boundary: a typed `Dataset[Article]` would materialize every column,
+    * including `html` — on a real crawl corpus the html payload dominates
+    * bytes (the input_hint table carries full page bodies), so NER reading
+    * it would multiply scan volume by an order of magnitude. PlanSpec locks
+    * `html`/`warc_ts` out of the ReadSchema. */
   def detect(
       articles: Dataset[Article],
       scorer: TokenScorer,
@@ -46,11 +53,15 @@ object NerStage {
     val spark = articles.sparkSession
     import spark.implicits._
     val gated = gate(articles)
+      .select(col("url"), col("text"), col("lang"), col("tp"))
+      .as[(String, String, String, String)]
     val parted =
       if (numPartitions > 0) gated.repartition(numPartitions, xxhash64(col("url")))
       else gated
     parted.mapPartitions { it =>
-      it.flatMap { a => detectOne(a, scorer, sentenceBatch) }
+      it.flatMap { case (url, text, lang, tp) =>
+        detectOne(Article(url, null, null, text, lang, tp), scorer, sentenceBatch)
+      }
     }
   }
 

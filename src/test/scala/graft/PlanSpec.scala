@@ -32,6 +32,14 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters"), scan)
     assert(scan.contains("In(tp"), scan)
     assert(scan.contains("In(lang"), scan)
+    // the full NER stage must COLUMN-PRUNE the scan: html (page bodies
+    // dominate bytes on a real crawl corpus) and warc_ts must not be read
+    val nerScan = NerStage.detect(
+      spark.read.parquet(dir).as[graft.core.Article], new AliasTrieScorer)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!nerScan.contains("html"), nerScan)
+    assert(!nerScan.contains("warc_ts"), nerScan)
+    assert(nerScan.contains("text"), nerScan)
   }
 
   test("dimension joins broadcast (q03), big-big joins never go Cartesian") {
