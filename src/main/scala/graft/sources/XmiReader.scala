@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import scala.collection.mutable
+
+import javax.xml.parsers.DocumentBuilderFactory
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.w3c.dom.Element
+
+/** S8: UIMA CAS XMI reader — the annotation-tool export format
+  * (INCEpTION/WebAnno), closing the last SURVEY §2 source row.
+  *
+  * Semantics mirror the reference converter
+  * (`lib/inception_postprocessing/convert_xmi2clef_format.py:128-310`):
+  *  - document text is the CAS `sofaString`;
+  *  - a document-level `OCRNoise` flag with `not_usable=true` marks the
+  *    document `too_noisy` (the converter discards it);
+  *  - `ImpressoNewsAgencies` annotations carry (value, begin, end,
+  *    noisy_ocr, transcript, wikidata_id); label mapping:
+  *    `pers.ind.articleauthor` stays fine=value/coarse=pers, anything else
+  *    becomes fine=`org.ent.pressagency.<value>`/coarse=org, compounds are
+  *    values starting with `comp` (`convert_xmi2clef_format.py:229-247`);
+  *  - noisy entities get a normalized Levenshtein distance vs their manual
+  *    transcript after hyphen cleaning (`helpers.py:55-70`) — the LED
+  *    metric the sliced HIPE evaluation buckets on;
+  *  - surface = covered text with newlines stripped
+  *    (`convert_xmi2clef_format.py:248`).
+  *
+  * The Spark shape: `binaryFile` scan → per-file DOM parse in
+  * `mapPartitions` (annotation exports are small single-article files) →
+  * typed Datasets. Parsing is namespace-prefix based (`cas:`/`type:`/
+  * `custom:`), matching the WebAnno export layout.
+  */
+object XmiReader {
+
+  final case class XmiDocument(
+      docId: String,
+      newspaper: String,
+      date: String,
+      text: String,
+      tooNoisy: Boolean,
+      nSegments: Int,
+      nTokens: Int,
+      nAutoSentences: Int
+  )
+
+  final case class XmiEntity(
+      docId: String,
+      xmiId: Long,
+      entityFine: String,
+      entityCoarse: String,
+      compound: Boolean,
+      lOffset: Int,
+      rOffset: Int,
+      surface: String,
+      noisyOcr: Boolean,
+      transcript: String,
+      levenshteinNorm: Double,
+      wikidataId: String
+  )
+
+  /** Normalized Levenshtein after hyphen cleaning (`helpers.py:55-70`;
+    * `stringdist.levenshtein_norm` divides by the longer length). */
+  private[sources] def levenshteinNormScala(a: String, b: String): Double = {
+    def clean(s: String): String = s.replaceAll("[-¬]\\s*", "")
+    val x = clean(a)
+    val y = clean(b)
+    val n = x.length
+    val m = y.length
+    if (math.max(n, m) == 0) return 0.0
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var k = 1
+      while (k <= m) {
+        val cost = if (x.charAt(i - 1) == y.charAt(k - 1)) 0 else 1
+        cur(k) = math.min(math.min(cur(k - 1) + 1, prev(k) + 1), prev(k - 1) + cost)
+        k += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m).toDouble / math.max(n, m)
+  }
+
+  /** Parse one XMI file. `docId` is the filename stem
+    * (`NP-YYYY-MM-DD-e-iNNNN`). */
+  def parse(docId: String, bytes: Array[Byte]): (XmiDocument, Seq[XmiEntity]) = {
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    // annotation exports are trusted local files, but keep the parser inert
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+
+    def elems(tag: String): Seq[Element] = {
+      val nl = doc.getElementsByTagName(tag)
+      (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+    }
+    def attr(e: Element, name: String): String =
+      if (e.hasAttribute(name)) e.getAttribute(name) else null
+
+    val text = elems("cas:Sofa").headOption
+      .flatMap(e => Option(attr(e, "sofaString"))).getOrElse("")
+    val tooNoisy = elems("custom:OCRNoise")
+      .exists(e => attr(e, "not_usable") == "true")
+
+    val parts = docId.split("-")
+    val newspaper = parts.headOption.getOrElse(docId)
+    val date = if (parts.length >= 4) parts.slice(1, 4).mkString("-") else ""
+
+    val entities = elems("custom:ImpressoNewsAgencies").map { e =>
+      val value = Option(attr(e, "value")).getOrElse("")
+      val (fine, coarse) =
+        if (value == "pers.ind.articleauthor") (value, "pers")
+        else (s"org.ent.pressagency.$value", "org")
+      val begin = Option(attr(e, "begin")).map(_.toInt).getOrElse(0)
+      val end = Option(attr(e, "end")).map(_.toInt).getOrElse(0)
+      val surface = text.substring(
+        math.min(begin, text.length),
+        math.min(end, text.length)).replace("\n", "")
+      val noisy = attr(e, "noisy_ocr") == "true"
+      val transcript = attr(e, "transcript")
+      // helpers.py semantics: distance computed whenever a transcript is
+      // present (noisy or not, the converter logs and computes); 0 otherwise
+      val led =
+        if (transcript != null && transcript.nonEmpty)
+          levenshteinNormScala(surface, transcript)
+        else 0.0
+      XmiEntity(
+        docId = docId,
+        xmiId = Option(attr(e, "xmi:id")).map(_.toLong).getOrElse(-1L),
+        entityFine = fine,
+        entityCoarse = coarse,
+        compound = value.startsWith("comp"),
+        lOffset = begin,
+        rOffset = end,
+        surface = surface,
+        noisyOcr = noisy,
+        transcript = if (transcript == null) "" else transcript,
+        levenshteinNorm = led,
+        wikidataId = Option(attr(e, "wikidata_id")).getOrElse("NIL")
+      )
+    }
+
+    val d = XmiDocument(
+      docId = docId,
+      newspaper = newspaper,
+      date = date,
+      text = text,
+      tooNoisy = tooNoisy,
+      nSegments = elems("type:Sentence").size,
+      nTokens = elems("type:Token").size,
+      nAutoSentences = elems("custom:PySBDSegment").size)
+    (d, entities)
+  }
+
+  private def parsedFiles(spark: SparkSession, glob: String) = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xmi")
+      .load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          val docId = name.split("\\.").head
+          parse(docId, bytes)
+        }
+      }
+  }
+
+  /** One row per XMI document; `too_noisy` documents are KEPT with the
+    * flag set (the converter's discard is a downstream filter). */
+  def readDocuments(spark: SparkSession, glob: String): Dataset[XmiDocument] = {
+    import spark.implicits._
+    parsedFiles(spark, glob).map(_._1)
+  }
+
+  /** One row per entity annotation, usable-document entities only by
+    * default (matches the converter's `too_noisy` discard). */
+  def readEntities(spark: SparkSession, glob: String,
+      dropNoisyDocs: Boolean = true): Dataset[XmiEntity] = {
+    import spark.implicits._
+    parsedFiles(spark, glob)
+      .filter(p => !dropNoisyDocs || !p._1.tooNoisy)
+      .flatMap(_._2)
+  }
+}

@@ -89,4 +89,70 @@ class SourcesSpec extends AnyFunSuite {
     assert(Linker.occurrences("aaa", "aa") == Seq((0, 2), (1, 3)))
     assert(Linker.occurrences("abc", "") == Seq.empty)
   }
+
+  // --- S8: UIMA CAS XMI reader (convert_xmi2clef_format.py:128-310) ---
+
+  private val xmiDir =
+    "/root/reference/data/annotation/minireference_for_IA_agreement/IA_fr/xmi"
+
+  test("XMI: real committed export parses — sofa text, segment counts") {
+    assume(new java.io.File(xmiDir).isDirectory)
+    val f = s"$xmiDir/EXP-1991-07-02-a-i0038.xmi"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+    val (doc, ents) = graft.sources.XmiReader.parse("EXP-1991-07-02-a-i0038", bytes)
+    assert(doc.text.startsWith("Les médecins sont scandalisés"))
+    assert(doc.nSegments == 65)
+    assert(doc.newspaper == "EXP" && doc.date == "1991-07-02")
+    assert(!doc.tooNoisy)
+    assert(ents.isEmpty) // pre-annotation export carries no agency layer
+  }
+
+  test("XMI: entity mapping, offsets, LED and the too_noisy flag") {
+    // synthetic CAS export in the WebAnno shape the converter documents
+    val text = "Selon Reuter- hier. Havas aussi."
+    val xmi =
+      s"""<?xml version='1.0' encoding='UTF-8'?>
+         |<xmi:XMI xmlns:xmi="http://www.omg.org/XMI" xmlns:cas="http:///uima/cas.ecore" xmlns:type="http:///de/tudarmstadt/ukp/dkpro/core/api/segmentation/type.ecore" xmlns:custom="http:///webanno/custom.ecore" xmi:version="2.0">
+         |  <cas:NULL xmi:id="0"/>
+         |  <type:Sentence xmi:id="2" begin="0" end="19" sofa="1"/>
+         |  <type:Sentence xmi:id="3" begin="20" end="32" sofa="1"/>
+         |  <custom:PySBDSegment xmi:id="4" begin="0" end="19" sofa="1"/>
+         |  <custom:ImpressoNewsAgencies xmi:id="10" sofa="1" begin="6" end="13" value="Reuters" noisy_ocr="true" transcript="Reuters" wikidata_id="Q130879"/>
+         |  <custom:ImpressoNewsAgencies xmi:id="11" sofa="1" begin="20" end="25" value="Havas"/>
+         |  <custom:ImpressoNewsAgencies xmi:id="12" sofa="1" begin="0" end="5" value="pers.ind.articleauthor"/>
+         |  <custom:ImpressoNewsAgencies xmi:id="13" sofa="1" begin="26" end="31" value="comp.AFP.Reuters"/>
+         |  <cas:Sofa xmi:id="1" sofaNum="1" sofaID="_InitialView" mimeType="text/plain" sofaString="$text"/>
+         |</xmi:XMI>""".stripMargin
+    val (doc, ents) = graft.sources.XmiReader.parse(
+      "GDL-1930-10-11-a-i0011", xmi.getBytes("UTF-8"))
+    assert(doc.text == text && doc.nSegments == 2 && doc.nAutoSentences == 1)
+    val byId = ents.map(e => e.xmiId -> e).toMap
+    val reuter = byId(10L)
+    assert(reuter.entityFine == "org.ent.pressagency.Reuters" &&
+      reuter.entityCoarse == "org")
+    assert(reuter.surface == "Reuter-" && reuter.noisyOcr)
+    // hyphen-clean then normalized levenshtein: "Reuter" vs "Reuters" = 1/7
+    assert(math.abs(reuter.levenshteinNorm - 1.0 / 7.0) < 1e-12)
+    assert(reuter.wikidataId == "Q130879")
+    assert(byId(11L).levenshteinNorm == 0.0 && byId(11L).wikidataId == "NIL")
+    assert(byId(12L).entityFine == "pers.ind.articleauthor" &&
+      byId(12L).entityCoarse == "pers")
+    assert(byId(13L).compound)
+
+    // document-level OCRNoise flag
+    val noisy = xmi.replace("<cas:NULL xmi:id=\"0\"/>",
+      "<cas:NULL xmi:id=\"0\"/><custom:OCRNoise xmi:id=\"9\" sofa=\"1\" begin=\"0\" end=\"0\" not_usable=\"true\"/>")
+    val (noisyDoc, _) = graft.sources.XmiReader.parse(
+      "GDL-1930-10-11-a-i0011", noisy.getBytes("UTF-8"))
+    assert(noisyDoc.tooNoisy)
+  }
+
+  test("XMI: Spark binaryFile reader over the committed export directory") {
+    assume(new java.io.File(xmiDir).isDirectory)
+    val docs = graft.sources.XmiReader.readDocuments(spark, xmiDir)
+    val n = docs.count()
+    assert(n == 48, s"expected 48 xmi files, got $n")
+    assert(docs.filter(_.text.nonEmpty).count() == n)
+    assert(graft.sources.XmiReader.readEntities(spark, xmiDir).count() == 0)
+  }
 }
