@@ -247,6 +247,18 @@ object SparkEntry {
       Ann.topKCosine(emb, q, 10)
         .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
     }),
+    // IVF ANN with full probe (nprobe = nlist): mathematically EXACT
+    // brute force through the IVF plumbing, so the q22 oracle applies
+    // verbatim regardless of how k-means clustered
+    "q29_ann_ivf_fullprobe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0)
+      val (centers, assigned) = Ann.ivfIndex(emb, nlist = 8)
+      Ann.ivfSearch(assigned, centers, q, k = 10, nprobe = 8)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
     // embedding norms per label (array HOF aggregate)
     "q23_embedding_norms" -> ((s, dir) => {
       tbl(s, dir, "embeddings")
@@ -363,6 +375,16 @@ object SparkEntry {
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
       Ann.topKCosineLsh(emb, q, 10, bits = 4)
+    }),
+    // IVF at the scale setting (nprobe < nlist): rows-only; recall vs
+    // brute force is spec-measured in OpsSpec
+    "kg11_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0)
+      val (centers, assigned) = Ann.ivfIndex(emb, nlist = 8)
+      Ann.ivfSearch(assigned, centers, q, k = 10, nprobe = 2)
     }),
     // per-year bipartite graph metrics (density + components incl.
     // isolated existing nodes) — one CC job for all years; rows-only
@@ -556,6 +578,22 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""",
     "q22_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         d AS (
+           SELECT vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE)))) AS nb
+           FROM embeddings, q)
+         SELECT vec_id, ROUND(dp / (na * nb), 5) AS cosine
+         FROM d ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""",
+    "q29_ann_ivf_fullprobe" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          d AS (
            SELECT vec_id,

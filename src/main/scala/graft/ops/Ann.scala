@@ -158,4 +158,63 @@ object Ann {
       .withColumn("bucket", lshBucket(col("embedding"), bits, dim, seed))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  // ---- IVF (k-means coarse quantizer + nprobe search) ------------------
+
+  /** IVF index: a k-means coarse quantizer (Spark MLlib, seeded) assigns
+    * every vector to one of `nlist` inverted lists. At corpus scale the
+    * assignment column becomes the partition/cluster key, so a query
+    * touches only `nprobe`/`nlist` of the data — the classic IVF-flat
+    * trade next to the hash-based [[topKCosineLsh]].
+    *
+    * Returns (centroids, assignments): centroids are tiny (driver-side
+    * ranking at query time); assignments add one int column to the
+    * embedding table. */
+  def ivfIndex(
+      embeddings: DataFrame,
+      nlist: Int = 8,
+      seed: Long = 7L,
+      maxIter: Int = 5
+  ): (Array[Array[Double]], DataFrame) = {
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings.withColumn("_features", toVec(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_features").setPredictionCol("ivf_list")
+      .fit(feat)
+    (model.clusterCenters.map(_.toArray),
+      model.transform(feat).drop("_features"))
+  }
+
+  /** IVF search: rank centroids against the query DRIVER-side (nlist
+    * rows — no job), then brute-force cosine inside the `nprobe` nearest
+    * lists only; `orderBy.limit` plans as TakeOrderedAndProject.
+    * `nprobe = nlist` probes everything and is EXACTLY brute force
+    * (oracle-checked as q29); smaller nprobe is the recall/throughput
+    * dial (spec-measured). */
+  def ivfSearch(
+      assigned: DataFrame,
+      centers: Array[Array[Double]],
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = centers.zipWithIndex
+      .sortBy { case (c, i) => (dist2(c), i) }
+      .take(math.max(1, nprobe)).map(_._2)
+    val qc = typedlitSeq(query)
+    assigned
+      .where(col("ivf_list").isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"), cosine(col("embedding"), qc).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -53,6 +53,52 @@ object StreamingKg {
       .groupBy(window(col("warc_ts"), "1 minute"), col("name"))
       .agg(count(lit(1)).as("n_mentions"))
 
+  /** One deduped document row, from the stateful streaming dedup. */
+  final case class DedupedDoc(
+      text_hash: String,
+      doc_id: Long,
+      n_dups_seen: Long
+  )
+
+  /** Stateful streaming exact-dedup via `flatMapGroupsWithState` — the
+    * custom-state operator of §2.12: keyed by content hash, per-key state
+    * is (first doc_id, duplicate count); only the FIRST occurrence of a
+    * text is emitted downstream (first-seen-wins, the streaming form of
+    * `Dedup.exactDedup`), while the state keeps counting suppressed
+    * duplicates for lineage.
+    *
+    * Scale shape: state is one tiny row per distinct content hash,
+    * partitioned by the hash (uniform by construction); with an upstream
+    * `withWatermark` the caller can switch the timeout to event-time to
+    * bound state on unbounded corpora. Built-in `dropDuplicates` could
+    * dedup, but cannot carry the running duplicate counter — that is what
+    * the custom state buys.
+    */
+  def dedupStream(docs: DataFrame): Dataset[DedupedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(md5(col("text").cast("binary")).as("text_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[(String, Long)],
+            state: GroupState[(Long, Long)]) => {
+          val batch = rows.map(_._2).toSeq.sorted
+          if (state.exists) {
+            val (firstId, nDups) = state.get
+            state.update((firstId, nDups + batch.size))
+            Iterator.empty
+          } else {
+            val firstId = batch.head
+            state.update((firstId, batch.size - 1L))
+            Iterator.single(DedupedDoc(hash, firstId, batch.size - 1L))
+          }
+        })
+  }
+
   /** Start a memory-sink query for tests/smoke (append mode). */
   def startMemorySink(mentions: Dataset[Mention], name: String,
       checkpointDir: String): StreamingQuery =

@@ -116,6 +116,28 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.1) // self-match always survives; rest is probabilistic
   }
 
+  test("IVF ANN: full probe equals brute force exactly; partial probe keeps self-match and measured recall") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 400L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2.toSeq
+    val (centers, assigned) = Ann.ivfIndex(df, nlist = 8)
+    assert(centers.length == 8)
+    val brute = Ann.topKCosine(df, q, 10).collect().map(_.getLong(0)).toSeq
+    // nprobe = nlist probes every list → identical to brute force
+    val full = Ann.ivfSearch(assigned, centers, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // partial probe: the query's own list is always probed first
+    val partial = Ann.ivfSearch(assigned, centers, q, 10, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(partial.head == 0L)
+    val recall = partial.count(brute.toSet).toDouble / 10
+    info(f"IVF nprobe=2/8 recall vs brute force: $recall%.2f")
+    assert(recall >= 0.1)
+  }
+
   test("embedding-cosine near-dup finds planted pairs, skips dissimilar") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
