@@ -386,6 +386,19 @@ object SparkEntry {
       val (centers, assigned) = Ann.ivfIndex(emb, nlist = 8)
       Ann.ivfSearch(assigned, centers, q, k = 10, nprobe = 2)
     }),
+    // full HIPE evaluation report (4 regimes × per-type + ALL, micro +
+    // macro-over-types) of the NER output against the synthetic gold —
+    // rows-only; per-type/regime TP/FP/FN parity vs the HIPE scorer's own
+    // fixtures is locked in HipeParitySpec
+    "kg12_hipe_report" -> ((s, _) => {
+      val pred = kgMentions(s).toDF()
+        .select(col("url"), col("entity"), col("lOffset"), col("rOffset"))
+      val gold = graft.synth.Synth.gold(s, 2000, seed = 42L, partitions = 16)
+        .toDF()
+        .select(col("url"), col("entity"), col("lOffset"), col("rOffset"))
+      graft.eval.SpanEval.report(pred, gold)
+    }),
+
     // per-year bipartite graph metrics (density + components incl.
     // isolated existing nodes) — one CC job for all years; rows-only
     // (inputs are the synthetic NER output), spec-checked vs a
