@@ -169,7 +169,7 @@ object ScalingBench {
          |Timed job: parquet scan (url-hash-bucketed at ingest) → gate → NER
          |mapPartitions → link → triples distinct+count, same $nDocs-doc input
          |at both levels; each measurement in a fresh JVM (same-shape warm-up
-         |inside), best of 2 interleaved rounds per level.
+         |inside), best of 3 interleaved rounds per level.
          |
          || metric | local[$lo] | local[$hi] | ratio |
          || --- | --- | --- | --- |

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Rounds used by the most recent [[run]] — observability for specs and
-    * capacity math (the loop's shuffle count is rounds × per-round stages). */
+  /** Rounds used by the most recent [[run]] IN THIS JVM — observability
+    * for sequential specs and capacity math (the loop's shuffle count is
+    * rounds × per-round stages). Concurrent runs overwrite each other;
+    * do not read this across threads. */
   @volatile var lastRunIterations: Int = 0
 
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {

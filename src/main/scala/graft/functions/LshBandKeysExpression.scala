@@ -62,13 +62,19 @@ object LshBandKeys {
 
   /** Deterministic pseudo-random unit in [-1, 1) — splitmix64 of (seed, j, i).
     * The single source of hyperplane components for executors AND the
-    * driver-side query-bucket computation. */
+    * driver-side query-bucket computation.
+    *
+    * `z >>> 11` keeps 53 bits, so the divisor must be 2⁵³ for a unit in
+    * [0,1). The round-1 form divided by 2⁵² — components landed in [-1,3)
+    * with mean +1, biasing every LSH bit toward sign(sum(v)): centered
+    * test embeddings masked it, but positive-leaning learned embeddings
+    * would have piled into one bucket and been dropped by the skew guard. */
   def hashUnit(seed: Long, j: Int, i: Int): Double = {
     var z = seed + j * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
   /** Per-JVM hyperplane cache, keyed by (bits, bands, seed, dim); layout is

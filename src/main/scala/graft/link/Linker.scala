@@ -58,17 +58,31 @@ object Linker {
       .select(col("url"), col("entity"), col("surface"), col("name"),
         col("qid"), col("confidence"), col("lang"), col("_text"))
       .as[(String, String, String, String, String, Double, String, String)]
-      .flatMap { case (url, entity, surface, name, qid, conf, lang, text) =>
-        // re-segment once per article so every expanded occurrence carries
-        // its TRUE sentence index and sentence offsets (the original
-        // mention's sentenceIdx is wrong for other occurrences)
-        val sents = graft.text.Segmenter.segmentWithOffsets(text)
-        occurrences(text, surface).map { case (s, e) =>
-          val si = sents.lastIndexWhere(_._1 <= s)
-          val sentStart = if (si >= 0) sents(si)._1 else 0
-          Mention(url, entity, surface, name, qid,
-            math.max(si, 0), s - sentStart, e - sentStart, s, e, conf, lang,
-            graft.core.ArticleId.mentionId(url, s, e, lang))
+      // group by article so the text is segmented ONCE per article, not
+      // once per mention row (an article with hundreds of mentions would
+      // re-segment the same text hundreds of times); sentence lookup per
+      // occurrence is a binary search over start offsets. Segmentation
+      // gives every expanded occurrence its TRUE sentence index and
+      // sentence offsets (the source mention's sentenceIdx is wrong for
+      // other occurrences).
+      .groupByKey(_._1)
+      .flatMapGroups { (url: String, rows: Iterator[(String, String, String,
+          String, String, Double, String, String)]) =>
+        val rs = rows.toSeq
+        val text = rs.head._8
+        val sents = graft.text.Segmenter.segmentRanges(text)
+        val starts = new Array[Int](sents.length)
+        var k = 0
+        while (k < sents.length) { starts(k) = (sents(k) >>> 32).toInt; k += 1 }
+        rs.iterator.flatMap { case (_, entity, surface, name, qid, conf, lang, _) =>
+          occurrences(text, surface).map { case (s, e) =>
+            val ins = java.util.Arrays.binarySearch(starts, s)
+            val si = if (ins >= 0) ins else math.max(0, -ins - 2)
+            val sentStart = if (starts.nonEmpty) starts(si) else 0
+            Mention(url, entity, surface, name, qid,
+              si, s - sentStart, e - sentStart, s, e, conf, lang,
+              graft.core.ArticleId.mentionId(url, s, e, lang))
+          }
         }
       }
       .dropDuplicates("id")

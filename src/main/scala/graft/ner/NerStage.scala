@@ -65,6 +65,14 @@ object NerStage {
     }
   }
 
+  /** F3 post-filter (`cli_tagger.py:163-166`): the reference keeps a
+    * surface iff it is not a bare punctuation char AND longer than one
+    * char — which reduces to length > 1 (every `string.punctuation`
+    * member is a single char). Shared by both detection paths, which
+    * must stay mention-identical (NerSpec differential test). */
+  @inline private[graft] def keepSurface(surface: String): Boolean =
+    surface.length > 1
+
   /** Pure per-article detection — unit-testable without Spark. Dispatches
     * to the zero-allocation range path when the scorer supports it
     * (the alias trie does); model-backed scorers take the batched
@@ -120,10 +128,7 @@ object NerStage {
           val entity = Gazetteer.normalizeLabel(spanLabel)
           val name = entity.split('.').last
           val surface = text.substring(l, r)
-          // F3 post-filters (cli_tagger.py:163-166)
-          val keep = surface.length > 1 &&
-            !(surface.length == 1 && graft.text.TextNorm.isPunct(surface.head))
-          if (keep) {
+          if (keepSurface(surface)) {
             out += Mention(
               url = a.url,
               entity = entity,
@@ -170,11 +175,7 @@ object NerStage {
             val l = sentStart + sp.start
             val r = sentStart + sp.end
             val surface = a.text.substring(l, r)
-            // F3 post-filters (cli_tagger.py:163-166): drop single-char /
-            // pure-punctuation surfaces
-            val keep = surface.length > 1 &&
-              !(surface.length == 1 && graft.text.TextNorm.isPunct(surface.head))
-            if (keep) {
+            if (keepSurface(surface)) {
               out += Mention(
                 url = a.url,
                 entity = entity,

@@ -85,8 +85,14 @@ object KgPipeline {
     val bucketed =
       if (hasBucketCol) articles.toDF().withColumnRenamed("bucket", "_bucket")
       else {
+        // staging completeness is gated on the _SUCCESS marker, not bare
+        // directory existence — a run that died mid-staging-write leaves a
+        // partial directory which must be rewritten, never trusted
+        // (silently processing it would drop every unstaged article).
+        // Paths here are driver-local by the sandbox contract; a cluster
+        // deployment swaps these checks for the Hadoop FileSystem API.
         val stagingDir = s"$outDir/_staging"
-        if (!Files.exists(Paths.get(stagingDir)))
+        if (!Files.exists(Paths.get(s"$stagingDir/_SUCCESS")))
           articles.toDF()
             .withColumn("_bucket",
               pmod(xxhash64(col("url")), lit(buckets)).cast("int"))
@@ -96,7 +102,20 @@ object KgPipeline {
         spark.read.parquet(stagingDir)
       }
 
-    val stats = (0 until buckets).filterNot(done).map { b =>
+    // the authoritative bucket count is what the data says, not the
+    // caller's argument: resuming with a smaller `buckets` than the run
+    // that staged/started would silently never process the tail buckets
+    val effectiveBuckets = {
+      val staged = bucketed.select(max(col("_bucket"))).head()
+      val maxSeen = if (staged.isNullAt(0)) -1 else staged.getInt(0)
+      require(maxSeen < buckets,
+        s"input carries buckets up to $maxSeen but runResumable was called " +
+          s"with buckets=$buckets — those buckets would silently never be " +
+          "processed; resume with the original bucket count")
+      buckets
+    }
+
+    val stats = (0 until effectiveBuckets).filterNot(done).map { b =>
       val t0 = System.nanoTime()
       val part = bucketed.where(col("_bucket") === b).drop("_bucket").as[Article]
       val ms = NerStage.detect(part, scorer).cache()

@@ -115,16 +115,20 @@ object XmiReader {
     val newspaper = parts.headOption.getOrElse(docId)
     val date = if (parts.length >= 4) parts.slice(1, 4).mkString("-") else ""
 
-    val entities = elems("custom:ImpressoNewsAgencies").map { e =>
+    // malformed annotations (reversed/negative/out-of-range spans) are
+    // SKIPPED, not fatal — the converter wraps each entity in try/except
+    // and logs (`convert_xmi2clef_format.py:228,294-296`); one bad
+    // annotation must not kill the ingest job
+    val entities = elems("custom:ImpressoNewsAgencies").flatMap { e =>
       val value = Option(attr(e, "value")).getOrElse("")
       val (fine, coarse) =
         if (value == "pers.ind.articleauthor") (value, "pers")
         else (s"org.ent.pressagency.$value", "org")
       val begin = Option(attr(e, "begin")).map(_.toInt).getOrElse(0)
       val end = Option(attr(e, "end")).map(_.toInt).getOrElse(0)
-      val surface = text.substring(
-        math.min(begin, text.length),
-        math.min(end, text.length)).replace("\n", "")
+      if (begin < 0 || end < begin || end > text.length) None
+      else Some {
+      val surface = text.substring(begin, end).replace("\n", "")
       val noisy = attr(e, "noisy_ocr") == "true"
       val transcript = attr(e, "transcript")
       // helpers.py semantics: distance computed whenever a transcript is
@@ -147,6 +151,7 @@ object XmiReader {
         levenshteinNorm = led,
         wikidataId = Option(attr(e, "wikidata_id")).getOrElse("NIL")
       )
+      }
     }
 
     val d = XmiDocument(

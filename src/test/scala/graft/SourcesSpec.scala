@@ -121,12 +121,15 @@ class SourcesSpec extends AnyFunSuite {
          |  <custom:ImpressoNewsAgencies xmi:id="11" sofa="1" begin="20" end="25" value="Havas"/>
          |  <custom:ImpressoNewsAgencies xmi:id="12" sofa="1" begin="0" end="5" value="pers.ind.articleauthor"/>
          |  <custom:ImpressoNewsAgencies xmi:id="13" sofa="1" begin="26" end="31" value="comp.AFP.Reuters"/>
+         |  <custom:ImpressoNewsAgencies xmi:id="14" sofa="1" begin="10" end="5" value="Reuters"/>
          |  <cas:Sofa xmi:id="1" sofaNum="1" sofaID="_InitialView" mimeType="text/plain" sofaString="$text"/>
          |</xmi:XMI>""".stripMargin
     val (doc, ents) = graft.sources.XmiReader.parse(
       "GDL-1930-10-11-a-i0011", xmi.getBytes("UTF-8"))
     assert(doc.text == text && doc.nSegments == 2 && doc.nAutoSentences == 1)
     val byId = ents.map(e => e.xmiId -> e).toMap
+    // the reversed-span annotation (id 14) is skipped, not fatal
+    assert(ents.length == 4 && !byId.contains(14L))
     val reuter = byId(10L)
     assert(reuter.entityFine == "org.ent.pressagency.Reuters" &&
       reuter.entityCoarse == "org")
