@@ -143,7 +143,12 @@ object GraphMaterialize {
       agencyIntervals: DataFrame,
       npIntervals: DataFrame
   ): DataFrame = {
-    val years = edges
+    // materialize the edge input once — it is referenced by the year-range
+    // agg AND the distinct-edge filter, and its upstream is typically the
+    // whole NER pipeline
+    val e0 = edges.select(col("newspaper"), col("agency"), col("year"))
+      .localCheckpoint()
+    val years = e0
       .agg(min(col("year")).as("y0"), max(col("year")).as("y1"))
       .select(explode(sequence(col("y0"), col("y1"))).as("year"))
       .localCheckpoint()
@@ -161,7 +166,7 @@ object GraphMaterialize {
     val npY = existing(npIntervals)
 
     // distinct simple-graph edges of each year, endpoints existing
-    val eY = edges.select(col("newspaper"), col("agency"), col("year")).distinct()
+    val eY = e0.distinct()
       .join(broadcast(agY.select(col("year"), col("node").as("agency"))),
         Seq("year", "agency"), "left_semi")
       .join(broadcast(npY.select(col("year"), col("node").as("newspaper"))),
