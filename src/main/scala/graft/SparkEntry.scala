@@ -207,6 +207,16 @@ object SparkEntry {
           sum(col("n_tokens")).as("total_tokens"),
           sum(col("quality_u")).as("sum_quality_u"))
     }),
+    // token counting: whitespace + the BPE-ish regex approximation
+    "q30_token_counts" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextFunctions.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"))
+    }),
     // language-ID heuristic
     "q19_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -540,6 +550,12 @@ object SparkEntry {
            CAST(SUM(n) AS BIGINT) AS total_tokens,
            CAST(SUM(quality_u) AS BIGINT) AS sum_quality_u
          FROM q GROUP BY lang""",
+    "q30_token_counts" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(regexp_extract_all(text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_tokens
+         FROM documents GROUP BY lang""",
     "q19_langid" ->
       """WITH c AS (
            SELECT

@@ -44,6 +44,16 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(split(text, " "))
 
+  /** BPE-ish token count: a GPT-style pre-tokenizer approximation —
+    * letter runs, digit runs and punctuation runs (each optionally
+    * space-prefixed) are each one unit, the shape subword tokenizers
+    * split on before merges. Lookahead-free alternation so the same
+    * pattern means the same thing under Java regex and RE2 (the DuckDB
+    * oracle). Pure Catalyst (`regexp_extract_all`), fuses into the scan. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+
   /** Deterministic document fingerprint: minimum md5 over character
     * 5-grams (a 1-permutation MinHash; SURVEY "document fingerprinting").
     * Pure higher-order-function Catalyst — no UDF. */
