@@ -83,7 +83,9 @@ object SpanEval {
   // ---- full HIPE report: 4 regimes × (per-type + ALL), micro + macro ---
 
   /** Classify every (pred, gold) interaction into the HIPE scorer's six
-    * scenarios (`ner_eval.py:387-630`) with 1:1 pairing, as staged joins:
+    * scenarios with EXACT reference semantics — a faithful per-document
+    * re-implementation of `compute_metrics`'s sequential scan
+    * (`ner_eval.py:387-630`):
     *
     *   I   exact boundary + type        → correct in all four regimes
     *   IV  exact boundary, wrong type   → strict/ent_type incorrect,
@@ -94,95 +96,89 @@ object SpanEval {
     *   II  unmatched pred               → spurious (attributed to pred type)
     *   III unmatched gold               → missed (attributed to gold type)
     *
-    * Per-type attribution follows the reference: scenarios with a gold
-    * involved count under the GOLD entity's type; spurious counts under the
-    * pred's type. Pairing is greedy 1:1 (largest overlap first, exact
-    * boundary before overlap), the distributed analog of the scorer's
-    * per-pred sequential scan — identical on all of the scorer's own
-    * fixtures; adversarial interleavings where the sequential scan
-    * double-counts a gold can differ, by design (1:1 keeps possible ≤
-    * nGold).
+    * The scan is ORDER-SENSITIVE in ways staged joins cannot express: preds
+    * are processed in document order; Scenario I/IV take the first
+    * boundary-equal gold with NO used-check (a gold can serve several
+    * preds), while the overlap scenarios take the first not-yet-overlapped
+    * gold, evaluating the IV-vs-overlap branch per gold in order — an
+    * earlier pred's Scenario VI can consume the gold a later same-type pred
+    * would have taken as V. (Round-2 history: a staged-join 1:1
+    * approximation matched every scorer fixture but diverged by one count
+    * on the real fr test set — the per-doc scan matches the official
+    * 2024 results exactly, HipeParitySpec.)
+    *
+    * Distribution: matching is inherently per-document, so the scan runs
+    * inside `flatMapGroups` keyed by url — one shuffle, embarrassingly
+    * parallel over documents, O(preds × golds) within a document (both
+    * bounded by document length). Attribution: gold-involved scenarios
+    * count under the GOLD type, spurious under the PRED type.
     *
     * Returns one row per (url, eType, scenario) with a count.
     */
   private def scenarioCounts(pred: DataFrame, gold: DataFrame): DataFrame = {
-    // materialized once: every pairing stage (joins + anti-joins) re-reads
-    // these tables, and pred's upstream is typically the whole NER pipeline
+    val spark = pred.sparkSession
+    import spark.implicits._
     val p0 = pred.select(
-      col("url").as("purl"), col("entity").as("pe"),
-      col("lOffset").cast("int").as("pl"), col("rOffset").cast("int").as("pr"))
-      .dropDuplicates("purl", "pe", "pl", "pr")
-      .localCheckpoint()
+      col("url"), lit("P").as("side"), col("entity"),
+      col("lOffset").cast("int").as("l"), col("rOffset").cast("int").as("r"))
     val g0 = gold.select(
-      col("url").as("gurl"), col("entity").as("ge"),
-      col("lOffset").cast("int").as("gl"), col("rOffset").cast("int").as("gr"))
-      .dropDuplicates("gurl", "ge", "gl", "gr")
-      .localCheckpoint()
+      col("url"), lit("G").as("side"), col("entity"),
+      col("lOffset").cast("int").as("l"), col("rOffset").cast("int").as("r"))
+    p0.unionByName(g0)
+      .dropDuplicates("url", "side", "entity", "l", "r")
+      .as[(String, String, String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (url: String, it: Iterator[(String, String, String, Int, Int)]) =>
+        val rows = it.toSeq
+        // document order (collect_named_entities emits in token order)
+        val preds = rows.filter(_._2 == "P").map(t => (t._3, t._4, t._5))
+          .sortBy(t => (t._2, t._3, t._1))
+        val golds = rows.filter(_._2 == "G").map(t => (t._3, t._4, t._5))
+          .sortBy(t => (t._2, t._3, t._1)).toIndexedSeq
+        val overlapped = new Array[Boolean](golds.length)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
-    val pKeys = Seq("purl", "pe", "pl", "pr")
-    val gKeys = Seq("gurl", "ge", "gl", "gr")
-
-    def oneToOne(cand: DataFrame): DataFrame = {
-      val overlap = least(col("pr"), col("gr")) - greatest(col("pl"), col("gl"))
-      val byPred = Window.partitionBy(pKeys.map(col): _*)
-        .orderBy(overlap.desc, col("gl"), col("gr"), col("ge"))
-      val byGold = Window.partitionBy(gKeys.map(col): _*)
-        .orderBy(overlap.desc, col("pl"), col("pr"), col("pe"))
-      cand
-        .withColumn("rp", row_number().over(byPred)).where(col("rp") === 1)
-        .withColumn("rg", row_number().over(byGold)).where(col("rg") === 1)
-        .drop("rp", "rg")
-    }
-    def minus(rest: DataFrame, used: DataFrame, keys: Seq[String]): DataFrame =
-      rest.join(used.select(keys.map(col): _*), keys, "left_anti")
-
-    // every stage result is checkpointed: the later anti-join chains
-    // reference ALL earlier stages, so unmaterialized plans recompute
-    // combinatorially (measured 6s → 53s without these)
-    // Stage I: exact boundary + type (1:1 by construction — keys are equal)
-    val mI = p0.join(g0,
-      col("purl") === col("gurl") && col("pe") === col("ge") &&
-        col("pl") === col("gl") && col("pr") === col("gr"))
-      .localCheckpoint()
-    var pRest = minus(p0, mI, pKeys)
-    var gRest = minus(g0, mI, gKeys)
-
-    // Stage IV: exact boundary, different type
-    val mIV = oneToOne(pRest.join(gRest,
-      col("purl") === col("gurl") && col("pe") =!= col("ge") &&
-        col("pl") === col("gl") && col("pr") === col("gr")))
-      .localCheckpoint()
-    pRest = minus(pRest, mIV, pKeys)
-    gRest = minus(gRest, mIV, gKeys)
-
-    // Stage V: boundary overlap, same type
-    val mV = oneToOne(pRest.join(gRest,
-      col("purl") === col("gurl") && col("pe") === col("ge") &&
-        col("pl") < col("gr") && col("gl") < col("pr")))
-      .localCheckpoint()
-    pRest = minus(pRest, mV, pKeys)
-    gRest = minus(gRest, mV, gKeys)
-
-    // Stage VI: boundary overlap, different type
-    val mVI = oneToOne(pRest.join(gRest,
-      col("purl") === col("gurl") && col("pe") =!= col("ge") &&
-        col("pl") < col("gr") && col("gl") < col("pr")))
-      .localCheckpoint()
-    val spurious = minus(pRest, mVI, pKeys)
-    val missed = minus(gRest, mVI, gKeys)
-
-    def byType(df: DataFrame, urlCol: String, typeCol: String,
-        scenario: String): DataFrame =
-      df.groupBy(col(urlCol).as("url"), col(typeCol).as("eType"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("scenario", lit(scenario))
-
-    byType(mI, "gurl", "ge", "I")
-      .unionByName(byType(mIV, "gurl", "ge", "IV"))
-      .unionByName(byType(mV, "gurl", "ge", "V"))
-      .unionByName(byType(mVI, "gurl", "ge", "VI"))
-      .unionByName(byType(spurious, "purl", "pe", "II"))
-      .unionByName(byType(missed, "gurl", "ge", "III"))
+        preds.foreach { case (pe, pl, pr) =>
+          // Scenario I: first boundary+type-equal gold, no used-check
+          var iExact = -1
+          var gi = 0
+          while (iExact < 0 && gi < golds.length) {
+            val g = golds(gi)
+            if (g._1 == pe && g._2 == pl && g._3 == pr) iExact = gi
+            gi += 1
+          }
+          if (iExact >= 0) {
+            overlapped(iExact) = true
+            out += ((pe, "I"))
+          } else {
+            // single pass over golds in order: per gold, Scenario IV
+            // (boundary-equal, no used-check) is tried before the overlap
+            // scenarios (first not-yet-overlapped gold)
+            var done = false
+            gi = 0
+            while (!done && gi < golds.length) {
+              val g = golds(gi)
+              if (g._2 == pl && g._3 == pr && g._1 != pe) {
+                overlapped(gi) = true
+                out += ((g._1, "IV"))
+                done = true
+              } else if (!overlapped(gi) && pl < g._3 && g._2 < pr) {
+                overlapped(gi) = true
+                out += ((g._1, if (g._1 == pe) "V" else "VI"))
+                done = true
+              } else gi += 1
+            }
+            if (!done) out += ((pe, "II")) // spurious
+          }
+        }
+        golds.indices.foreach { i =>
+          if (!overlapped(i)) out += ((golds(i)._1, "III")) // missed
+        }
+        out.groupBy(identity).map { case ((eType, scenario), hits) =>
+          (url, eType, hits.size.toLong, scenario)
+        }
+      }
+      .toDF("url", "eType", "n", "scenario")
   }
 
   /** Regime composition of the six scenarios (`ner_eval.py:395-400`). */

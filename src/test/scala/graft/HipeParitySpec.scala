@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{col, udf}
+
 import graft.core.TsvToken
 import graft.eval.SpanEval
 import graft.sources.ConllTsvReader
@@ -162,6 +164,101 @@ class HipeParitySpec extends AnyFunSuite {
     checkFullReport("ner-lit-coarse-3",
       s"$base/unittest-ner-lit-coarse-3-pred.tsv.ref_results.json",
       _.neCoarseLit)
+  }
+
+  // ---- REAL test set: parity with the official 2024 results files ------
+
+  /** Parse the official results TSV (System/Evaluation/Label/P/R/F1/…/
+    * TP/FP/FN) into ((LABEL, regime) → (TP, FP, FN)) for the unsliced
+    * micro rows; the scorer's "fuzzy" is the ent_type regime. */
+  private def officialResults(file: String): Map[(String, String), (Long, Long, Long)] = {
+    val lines = scala.io.Source.fromFile(file, "UTF-8").getLines().toSeq
+    lines.drop(1).flatMap { line =>
+      val f = line.split("\t", -1)
+      if (f.length < 12) None
+      else {
+        // NE-FINE-LIT only — NE-NESTED sections repeat the same regime
+        // suffixes with (mostly) zero counts
+        val regime = f(1) match {
+          case "NE-FINE-LIT-micro-fuzzy-TIME-ALL-LED-ALL" => Some("ent_type")
+          case "NE-FINE-LIT-micro-strict-TIME-ALL-LED-ALL" => Some("strict")
+          case _ => None
+        }
+        regime.map(r =>
+          (f(2), r) ->
+            ((f(9).trim.toLong, f(10).trim.toLong, f(11).trim.toLong)))
+      }
+    }.toMap
+  }
+
+  private def checkRealTestSet(lang: String, modelDir: String): Unit = {
+    val predFile = s"$modelDir/newsagency-data-test-${lang}_pred.tsv"
+    val goldFile =
+      s"/root/reference/data/annotated_data/$lang/newsagency-data-test-$lang.tsv"
+    val officialFile = s"$modelDir/newsagency-data-test-${lang}_pred_nerc_fine.tsv"
+    assume(new java.io.File(predFile).isFile &&
+      new java.io.File(goldFile).isFile &&
+      new java.io.File(officialFile).isFile)
+    // Reproduce the scorer's tag-set gate (`set_evaluation_tags`, tags =
+    // gold tags; spurious pred tags are treated as O) INCLUDING its
+    // dash-splitting quirk: `get_all_tags` keeps `label.split("-")[-1]`
+    // (utils.py:52), so a fine type with an internal dash (UP-UPI →
+    // "UPI", ATS-SDA → "SDA") never equals its own entity type and is
+    // silently excluded from the official evaluation — gold and pred.
+    // The engine's own report scores those types; this filter exists only
+    // to compare against the official numbers.
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(goldFile)), "UTF-8")
+    val refTags = ConllTsvReader.parse(content)
+      .map(_.neFineLit.split("\\|")(0).split("-").last)
+      .filterNot(Set("_", "-", "O")).toSet
+    val inTags = udf((e: String) => refTags.contains(e))
+    // key spans by document OCCURRENCE, not document_id: the committed
+    // test corpora contain duplicated documents (same document_id twice)
+    // and the scorer zips docs by file position, scoring each copy —
+    // grouping by id would merge the copies and collapse their identical
+    // spans
+    def spansByOccurrence(file: String) = {
+      import spark.implicits._
+      val c = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(file)), "UTF-8")
+      c.split("(?m)(?=^# document_id)").toSeq.zipWithIndex
+        .filter(_._1.contains("document_id"))
+        .flatMap { case (block, i) =>
+          val toks = ConllTsvReader.parse(block)
+          toks.groupBy(_.docId).toSeq.flatMap { case (doc, ts) =>
+            ConllTsvReader.goldSpansBy(ts.sortBy(_.tokIdx), _.neFineLit)
+              .map(s => (s"$doc#$i", s.eType, s.start, s.end + 1))
+          }
+        }.toDF("url", "entity", "lOffset", "rOffset")
+    }
+    val pred = spansByOccurrence(predFile).where(inTags(col("entity")))
+    val gold = spansByOccurrence(goldFile).where(inTags(col("entity")))
+    val got = SpanEval.report(pred, gold).collect().map { r =>
+      (r.getAs[String]("eType").toUpperCase, r.getAs[String]("regime")) ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))
+    }.toMap
+    val official = officialResults(officialFile)
+    assert(official.nonEmpty)
+    var checked = 0
+    official.foreach { case (key @ (label, regime), want) =>
+      val have = got.getOrElse(key,
+        if (want == ((0L, 0L, 0L))) (0L, 0L, 0L)
+        else fail(s"$lang: no report row for $key (expected $want)"))
+      assert(have == want, s"$lang $label/$regime: got $have expected $want")
+      checked += 1
+    }
+    info(s"$lang: $checked official (label × regime) rows matched exactly")
+  }
+
+  test("REAL de test set: per-type TP/FP/FN parity with the official 2024 results") {
+    checkRealTestSet("de", "/root/reference/data/results_2024/" +
+      "model_bert_base_german_cased_max_sequence_length_128_epochs_3_run_de_5")
+  }
+
+  test("REAL fr test set: per-type TP/FP/FN parity with the official 2024 results") {
+    checkRealTestSet("fr", "/root/reference/data/results_2024/" +
+      "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
   }
 
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
