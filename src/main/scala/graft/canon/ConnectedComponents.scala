@@ -32,13 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Rounds used by the most recent [[run]] IN THIS JVM — observability
-    * for sequential specs and capacity math (the loop's shuffle count is
-    * rounds × per-round stages). Concurrent runs overwrite each other;
-    * do not read this across threads. */
-  @volatile var lastRunIterations: Int = 0
+  def run(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    runCounted(edges, maxIter)._1
 
-  def run(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  /** As [[run]], additionally returning the number of rounds executed —
+    * per-call observability for capacity math (the loop's shuffle count is
+    * rounds × per-round stages) that is safe under concurrent runs. */
+  def runCounted(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
     val sym = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
@@ -87,7 +87,6 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
-    lastRunIterations = iter
-    labels
+    (labels, iter)
   }
 }

@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * codegen (the 17 s kg09 outlier). Here the generated code makes a single
   * static call; the hyperplane matrix is materialized once per JVM from the
   * same seeded hash (`hashUnit`) used driver-side, so no matrices ship with
-  * the plan and band keys are bit-identical to the round-1 outputs.
+  * the plan and band keys are bit-identical between driver and executors.
+  * (Keys intentionally DIFFER from the round-1 outputs: this change also
+  * fixes hashUnit's divisor, 2^52 → 2^53, whose bias made components land
+  * in [-1, 3) instead of [-1, 1) — persisted round-1 bucket assignments are
+  * not comparable.)
   *
   * Band `b`, bit `j` uses hyperplane components
   * `hashUnit(seed + b*1000003, j, i)` — band 0 therefore equals the

@@ -200,8 +200,14 @@ object Dedup {
       .join(withSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(withSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        // guard 0/0: two sub-shingle docs have empty shingle sets, and a
+        // NaN jaccard would sort ABOVE minJaccard (Spark orders NaN last),
+        // emitting a bogus pair. Unreachable via lshCandidatePairs (short
+        // docs are gated pre-banding) but this is a public API.
+        when(size(array_union(col("sh1"), col("sh2"))) > 0,
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))).cast("double"))
+          .otherwise(lit(0.0)))
       .where(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

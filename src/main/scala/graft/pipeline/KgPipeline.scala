@@ -89,6 +89,13 @@ object KgPipeline {
         // directory existence — a run that died mid-staging-write leaves a
         // partial directory which must be rewritten, never trusted
         // (silently processing it would drop every unstaged article).
+        // CONTRACT: staging binds the run to the FIRST input it staged.
+        // A completed staging in outDir is reused as-is; re-invoking
+        // runResumable into the same outDir with different/extra input
+        // articles processes the staged corpus, not the new one. A new
+        // input needs a new outDir (validating input-vs-staging equality
+        // would cost a full second pass over the raw corpus — exactly what
+        // staging exists to avoid).
         // Paths here are driver-local by the sandbox contract; a cluster
         // deployment swaps these checks for the Hadoop FileSystem API.
         val stagingDir = s"$outDir/_staging"

@@ -124,8 +124,12 @@ object XmiReader {
       val (fine, coarse) =
         if (value == "pers.ind.articleauthor") (value, "pers")
         else (s"org.ent.pressagency.$value", "org")
-      val begin = Option(attr(e, "begin")).map(_.toInt).getOrElse(0)
-      val end = Option(attr(e, "end")).map(_.toInt).getOrElse(0)
+      // non-numeric begin/end/xmi:id skip the annotation (toIntOption),
+      // matching the converter's per-entity try/except — one malformed
+      // attribute must not fail the whole file's ingest task, the same
+      // policy the out-of-range guard below already applies
+      val begin = Option(attr(e, "begin")).flatMap(_.toIntOption).getOrElse(-1)
+      val end = Option(attr(e, "end")).flatMap(_.toIntOption).getOrElse(-1)
       if (begin < 0 || end < begin || end > text.length) None
       else Some {
       val surface = text.substring(begin, end).replace("\n", "")
@@ -139,7 +143,7 @@ object XmiReader {
         else 0.0
       XmiEntity(
         docId = docId,
-        xmiId = Option(attr(e, "xmi:id")).map(_.toLong).getOrElse(-1L),
+        xmiId = Option(attr(e, "xmi:id")).flatMap(_.toLongOption).getOrElse(-1L),
         entityFine = fine,
         entityCoarse = coarse,
         compound = value.startsWith("comp"),
