@@ -433,6 +433,24 @@ object SparkEntry {
           slice(col("embedding"), 2, 63)).as("embedding"))
       Ann.embeddingNearDupPairs(emb.unionByName(mutated), dim = 64,
         minCosine = 0.98)
+    }),
+
+    // NEL (QID-level) evaluation report — the HIPE scorer's `--task=nel`
+    // regime over the pipeline's own entity links vs the synthetic gold.
+    // Rows-only (link-scenario semantics are not SQL-expressible);
+    // per-label × regime parity vs the reference scorer is locked in
+    // HipeParitySpec: its 5 committed unit fixtures (incl. n-best pipe
+    // lists and LIT∪METO union columns) and the real 2024 de+fr test sets
+    // in both link segmentation modes
+    "kg13_nel_report" -> ((s, _) => {
+      val pred = kgMentions(s).toDF()
+        .select(col("url"), array(col("qid")).as("types"),
+          col("lOffset").as("l"), col("rOffset").as("r"))
+      val gold = graft.synth.Synth.gold(s, 2000, seed = 42L, partitions = 16)
+        .toDF()
+        .select(col("url"), col("qid").as("entity"),
+          col("lOffset").as("l"), col("rOffset").as("r"))
+      graft.eval.NelEval.reportFromLinkTables(pred, gold)
     })
   )
 

@@ -110,5 +110,6 @@ final case class TsvToken(
     neFineLit: String,
     nelLit: String,
     misc: String,
-    isEndOfSentence: Boolean
+    isEndOfSentence: Boolean,
+    nelMeto: String = "_"
 )

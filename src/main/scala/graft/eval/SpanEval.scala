@@ -189,8 +189,14 @@ object SpanEval {
     * counts, micro P/R/F1 and (on ALL rows) macro-over-types P/R/F1
     * (`compute_macro_type_scores`, ner_eval.py:807-843; the mean of
     * per-type micro scores). */
-  def report(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val sc = scenarioCounts(pred, gold)
+  def report(pred: DataFrame, gold: DataFrame): DataFrame =
+    reportFromScenarios(scenarioCounts(pred, gold))
+
+  /** Regime composition + micro/macro metric assembly over a scenario-count
+    * table `(url, eType, n, scenario)` — shared by the NERC report above
+    * and the NEL report ([[NelEval.report]]), which differ only in how the
+    * scenarios are produced (flat entities vs link-alternative unions). */
+  private[eval] def reportFromScenarios(sc: DataFrame): DataFrame = {
     // scenario → per-regime (correct, incorrect, partial) contribution
     def n(s: String): Column =
       sum(when(col("scenario") === s, col("n")).otherwise(0L))

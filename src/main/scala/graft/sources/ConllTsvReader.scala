@@ -74,7 +74,8 @@ object ConllTsvReader {
           neFineLit = at(3),
           nelLit = at(7),
           misc = if (cols.length >= 13) at(12) else cols.last,
-          isEndOfSentence = eos)
+          isEndOfSentence = eos,
+          nelMeto = if (at(8).isEmpty) "_" else at(8))
         tokIdx += 1
         lastWasBoundary = false
         if (eos) { segId += 1; lastWasBoundary = true }

@@ -261,6 +261,169 @@ class HipeParitySpec extends AnyFunSuite {
       "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
   }
 
+  // ---- NEL (entity-linking / QID) parity --------------------------------
+  //
+  // Targets every committed NEL fixture of the scorer
+  // (`--task=nel`, clef_evaluation.py:226-262): the two unit fixtures in
+  // both 2020 (link-column segmentation, "concatNIL") and 2022 (NER-column
+  // segmentation, "separatedNIL") modes, and the bundle3 document pair in
+  // n-best-3 pipe-list mode and LIT∪METO union-column mode — the scorer's
+  // own unittest_eval.py asserts both against the SAME expected JSON.
+
+  /** All (label, regime) → metric map of a NEL ref JSON. */
+  private def expectedNel(file: String): Map[(String, String), Map[String, Long]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val metrics = Seq("correct", "incorrect", "partial", "missed",
+      "spurious", "possible", "actual", "TP", "FP", "FN")
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    val json = JsonMethods.parse(text).asInstanceOf[JObject]
+    (for {
+      (section, JObject(regimes)) <- json.obj
+      (regime, counts: JObject) <- regimes
+    } yield {
+      val m = metrics.flatMap { k =>
+        counts \ k match {
+          case JInt(v) => Some(k -> v.toLong)
+          case JDouble(v) => Some(k -> v.toLong)
+          case _ => None
+        }
+      }.toMap
+      (section, regime) -> m
+    }).toMap
+  }
+
+  private def nelTokens(file: String) = {
+    import spark.implicits._
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    spark.createDataset(ConllTsvReader.parse(content))
+  }
+
+  private def checkNel(trueFile: String, predFile: String, refJson: String,
+      linkCols: Seq[TsvToken => String],
+      nerCol: Option[TsvToken => String],
+      nBest: Int): Unit = {
+    val colOf = Map("TP" -> "tp", "FP" -> "fp", "FN" -> "fn")
+      .withDefault(identity)
+    val got = graft.eval.NelEval
+      .report(nelTokens(predFile), nelTokens(trueFile), linkCols, nerCol, nBest)
+      .collect()
+      .map(r => (r.getAs[String]("eType"), r.getAs[String]("regime")) -> r)
+      .toMap
+    val exp = expectedNel(refJson)
+    assert(exp.nonEmpty, s"no expectations parsed from $refJson")
+    exp.foreach { case (key @ (section, regime), want) =>
+      want.foreach { case (metric, v) =>
+        val have = got.get(key).map(_.getAs[Long](colOf(metric)))
+          .getOrElse(0L)
+        assert(have == v,
+          s"NEL $section/$regime/$metric: got $have expected $v ($refJson)")
+      }
+    }
+  }
+
+  test("NEL fixture nel-1: QID/NIL links, original segmentation") {
+    assume(new java.io.File(base).isDirectory)
+    checkNel(s"$base/unittest-nel-1-true.tsv", s"$base/unittest-nel-1-pred.tsv",
+      s"$base/unittest-nel-1-pred.tsv.ref_results.json",
+      Seq(_.nelLit), None, nBest = 1)
+  }
+
+  test("NEL fixture nel-2: consecutive NIL concatenated (2020 original mode)") {
+    assume(new java.io.File(base).isDirectory)
+    checkNel(s"$base/unittest-nel-2-true.tsv", s"$base/unittest-nel-2-pred.tsv",
+      s"$base/unittest-nel-2-pred.tsv.concatNIL_ref_results.json",
+      Seq(_.nelLit), None, nBest = 1)
+  }
+
+  test("NEL fixture nel-2: consecutive NIL separated by NER boundaries (2022 mode)") {
+    assume(new java.io.File(base).isDirectory)
+    checkNel(s"$base/unittest-nel-2-true.tsv", s"$base/unittest-nel-2-pred.tsv",
+      s"$base/unittest-nel-2-pred.tsv.separatedNIL_ref_results.json",
+      Seq(_.nelLit), Some(_.neCoarseLit), nBest = 1)
+  }
+
+  test("NEL bundle3: ranked |-list at n_best=3") {
+    assume(new java.io.File(base).isDirectory)
+    checkNel(s"$base/unittest-true_bundle3_de_1.tsv",
+      s"$base/unittest-pred_bundle3_de_1.tsv",
+      s"$base/ref_results_nel_all.json",
+      Seq(_.nelLit), None, nBest = 3)
+  }
+
+  test("NEL bundle3: LIT∪METO union columns at n_best=1 (same expected JSON)") {
+    assume(new java.io.File(base).isDirectory)
+    checkNel(s"$base/unittest-true_bundle3_de_1.tsv",
+      s"$base/unittest-pred_bundle3_de_1.tsv",
+      s"$base/ref_results_nel_all.json",
+      Seq(_.nelLit, _.nelMeto), None, nBest = 1)
+  }
+
+  /** Token table keyed by document OCCURRENCE (same trick as
+    * `spansByOccurrence`: the committed corpora contain duplicated
+    * document_ids which the scorer scores per file-position copy). */
+  private def nelTokensByOccurrence(file: String) = {
+    import spark.implicits._
+    val c = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(file)), "UTF-8")
+    val toks = c.split("(?m)(?=^# document_id)").toSeq.zipWithIndex
+      .filter(_._1.contains("document_id"))
+      .flatMap { case (block, i) =>
+        ConllTsvReader.parse(block).map(t => t.copy(docId = s"$i:${t.docId}"))
+      }
+    spark.createDataset(toks)
+  }
+
+  /** Real 2024 test sets, NEL task, against the reference scorer's own
+    * output (committed at src/test/resources/nel/, generated by
+    * `tools/run_hipe_scorer.py` from the reference's committed gold +
+    * model-prediction files) — both link-column segmentation (2020
+    * original) and NER-boundary segmentation (2022) modes. */
+  private def checkRealNel(lang: String, modelDir: String): Unit = {
+    val predFile = s"$modelDir/newsagency-data-test-${lang}_pred.tsv"
+    val goldFile =
+      s"/root/reference/data/annotated_data/$lang/newsagency-data-test-$lang.tsv"
+    assume(new java.io.File(predFile).isFile &&
+      new java.io.File(goldFile).isFile)
+    val pred = nelTokensByOccurrence(predFile)
+    val gold = nelTokensByOccurrence(goldFile)
+    Seq(
+      s"src/test/resources/nel/test-${lang}_nel_original.json" -> None,
+      s"src/test/resources/nel/test-${lang}_nel_ner.json" ->
+        Some((t: TsvToken) => t.neCoarseLit)
+    ).foreach { case (refJson, nerCol) =>
+      val got = graft.eval.NelEval.report(pred, gold, Seq(_.nelLit), nerCol, 1)
+        .collect()
+        .map(r => (r.getAs[String]("eType"), r.getAs[String]("regime")) -> r)
+        .toMap
+      val colOf = Map("TP" -> "tp", "FP" -> "fp", "FN" -> "fn")
+        .withDefault(identity)
+      val exp = expectedNel(refJson)
+      assert(exp.nonEmpty)
+      exp.foreach { case (key @ (section, regime), want) =>
+        want.foreach { case (metric, v) =>
+          val have = got.get(key).map(_.getAs[Long](colOf(metric)))
+            .getOrElse(0L)
+          assert(have == v,
+            s"REAL-NEL $lang $section/$regime/$metric: got $have " +
+              s"expected $v ($refJson)")
+        }
+      }
+    }
+  }
+
+  test("REAL de test set: NEL parity with the reference scorer (both modes)") {
+    checkRealNel("de", "/root/reference/data/results_2024/" +
+      "model_dbmdz_bert_base_german_europeana_cased_max_sequence_length_128_epochs_3_run_de_2")
+  }
+
+  test("REAL fr test set: NEL parity with the reference scorer (both modes)") {
+    checkRealNel("fr", "/root/reference/data/results_2024/" +
+      "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
