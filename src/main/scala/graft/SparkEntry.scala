@@ -43,6 +43,33 @@ object SparkEntry {
   private def kgMentions(s: SparkSession) =
     KgPipeline.mentions(kgArticles(s), new AliasTrieScorer, numPartitions = 16)
 
+  /** Staged NER output: the mention table (and the tiny agency dim)
+    * written ONCE per JVM to a deterministic parquet path. The graph
+    * queries downstream of NER (kg03/kg04/kg05/kg10) compute
+    * SQL-expressible operators — staging their input lets DuckDB oracle
+    * the OPERATOR itself (`read_parquet` over the same rows Spark reads)
+    * instead of falling back to a rows-only check; only the genuinely
+    * non-SQL queries (trie NER, LSH internals, scorer scans) stay
+    * rows-only. Mirrors the production pipeline shape, where NER output
+    * is checkpointed to parquet before the analytic stage anyway. */
+  private[graft] val StageDir = "/tmp/graft_stage"
+  @volatile private var staged = false
+  private def stagedMentions(s: SparkSession): DataFrame = synchronized {
+    if (!staged) {
+      kgMentions(s).toDF()
+        .write.mode("overwrite").parquet(s"$StageDir/kg_mentions")
+      GraphMaterialize.agencyDim(s)
+        .write.mode("overwrite").parquet(s"$StageDir/agency_dim")
+      staged = true
+    }
+    s.read.parquet(s"$StageDir/kg_mentions")
+  }
+  private def stagedAnalytic(s: SparkSession): DataFrame = {
+    import s.implicits._
+    GraphMaterialize.analyticMentions(
+      stagedMentions(s).as[graft.core.Mention])
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (SURVEY §2.6, A1/A6) ----
     "q01_pricing_agg" -> ((s, dir) => {
@@ -336,23 +363,30 @@ object SparkEntry {
     "kg01_mentions" -> ((s, _) => kgMentions(s).toDF()),
     "kg02_triples" -> ((s, _) =>
       GraphMaterialize.triples(kgMentions(s)).toDF()),
+    // oracle-checked on the staged NER output (see stagedMentions):
+    // DuckDB recomputes the yearly-edge aggregation + existence filter
+    // over the identical parquet rows
     "kg03_yearly_edges" -> ((s, _) =>
       GraphMaterialize.yearlyEdges(
-        GraphMaterialize.existenceFilter(
-          GraphMaterialize.analyticMentions(kgMentions(s))))),
+        GraphMaterialize.existenceFilter(stagedAnalytic(s)))),
     // reference-exact co-citation edge list (freq_node1/freq_node2 per
-    // (np, year) pair, network_analysis cell 20). Rows-only here (input is
-    // the synthetic NER output); the operator itself is oracle-checked on
-    // the orders table by q28_cocitation_freqs.
+    // (np, year) pair, network_analysis cell 20) — oracle-checked on the
+    // staged NER output (and independently on the orders table by q28)
     "kg04_cocitation" -> ((s, _) =>
-      GraphMaterialize.coCitationEdges(
-        GraphMaterialize.analyticMentions(kgMentions(s)))),
+      GraphMaterialize.coCitationEdges(stagedAnalytic(s))),
+    // connected components over the bipartite surface↔qid graph with
+    // collision-free dictionary node ids (runOnNames — replaces the
+    // 64-bit hash keys whose birthday bound silently merges components at
+    // north-rule scale). Output is the label-invariant component-size
+    // histogram, which a DuckDB recursive CTE oracles exactly.
     "kg05_components" -> ((s, _) => {
-      val m = kgMentions(s).toDF()
+      val m = stagedMentions(s)
       val edges = m.select(
-        xxhash64(col("surface")).as("src"), xxhash64(col("qid")).as("dst"))
-      graft.canon.ConnectedComponents.run(edges)
+        concat(lit("s|"), col("surface")).as("src"),
+        concat(lit("q|"), col("qid")).as("dst"))
+      graft.canon.ConnectedComponents.runOnNames(edges)
         .groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+        .groupBy(col("n_nodes")).agg(count(lit(1)).as("n_components"))
     }),
     // multimodal plumbing over an opaque binary column, projected to
     // harness-comparable scalars (round-1 lesson: an array<double> output
@@ -410,11 +444,11 @@ object SparkEntry {
     }),
 
     // per-year bipartite graph metrics (density + components incl.
-    // isolated existing nodes) — one CC job for all years; rows-only
-    // (inputs are the synthetic NER output), spec-checked vs a
-    // hand-computed graph in EvalGraphSpec
+    // isolated existing nodes) — one CC job for all years; oracle-checked
+    // on the staged NER output via a DuckDB recursive-CTE component
+    // count, and spec-checked vs a hand-computed graph in EvalGraphSpec
     "kg10_graph_metrics" -> ((s, _) => {
-      val analytic = GraphMaterialize.analyticMentions(kgMentions(s))
+      val analytic = stagedAnalytic(s)
       val edges = GraphMaterialize.yearlyEdges(analytic)
       val ag = GraphMaterialize.agencyDim(s).select(
         col("agency").as("node"), col("start_year"), col("end_year"))
@@ -753,6 +787,121 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
-         FROM g GROUP BY user_id"""
+         FROM g GROUP BY user_id""",
+
+    // ---- oracles over the STAGED NER output (see stagedMentions): the
+    // graph operators downstream of NER are plain SQL once their input is
+    // pinned to parquet; DuckDB recomputes them over the identical rows.
+    // `am` rederives the analytic columns (newspaper/year/decade/agency
+    // from the mention url/entity — import_data.ipynb cell 7) so the
+    // oracle is independent of the Spark derivation too.
+    "kg03_yearly_edges" ->
+      s"""WITH am AS (
+           SELECT split_part(url, '-', 1) AS newspaper,
+             CAST(split_part(url, '-', 2) AS INT) AS year,
+             regexp_replace(entity, '^org\\.ent\\.pressagency\\.', '') AS agency
+           FROM read_parquet('$StageDir/kg_mentions/*.parquet')
+           WHERE entity <> 'pers.ind.articleauthor'),
+         dim AS (SELECT agency, start_year, end_year
+                 FROM read_parquet('$StageDir/agency_dim/*.parquet')),
+         f AS (
+           SELECT am.* FROM am LEFT JOIN dim USING (agency)
+           WHERE am.year BETWEEN COALESCE(dim.start_year, 1840)
+                             AND COALESCE(dim.end_year, 2020))
+         SELECT newspaper, agency, year, COUNT(*) AS weight,
+           (year // 10) * 10 AS decade
+         FROM f GROUP BY 1, 2, 3""",
+    "kg04_cocitation" ->
+      s"""WITH am AS (
+           SELECT split_part(url, '-', 1) AS newspaper,
+             CAST(split_part(url, '-', 2) AS INT) AS year,
+             regexp_replace(entity, '^org\\.ent\\.pressagency\\.', '') AS agency
+           FROM read_parquet('$StageDir/kg_mentions/*.parquet')
+           WHERE entity <> 'pers.ind.articleauthor'),
+         per AS (SELECT newspaper, year, agency, COUNT(*) AS n
+                 FROM am GROUP BY 1, 2, 3)
+         SELECT a.newspaper, a.year, a.agency AS ag1, b.agency AS ag2,
+           a.n AS freq1, b.n AS freq2
+         FROM per a JOIN per b
+           ON a.newspaper = b.newspaper AND a.year = b.year
+          AND a.agency < b.agency""",
+    // connected components via transitive closure (recursive CTE with
+    // set-semantics UNION), compared on the label-invariant size histogram
+    "kg05_components" ->
+      s"""WITH RECURSIVE
+         e0 AS (SELECT DISTINCT 's|' || surface AS a, 'q|' || qid AS b
+                FROM read_parquet('$StageDir/kg_mentions/*.parquet')),
+         edges AS (SELECT a AS src, b AS dst FROM e0
+                   UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+         sizes AS (SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY 1)
+         SELECT n_nodes, COUNT(*) AS n_components FROM sizes GROUP BY 1""",
+    "kg10_graph_metrics" ->
+      s"""WITH RECURSIVE
+         am AS (
+           SELECT split_part(url, '-', 1) AS newspaper,
+             CAST(split_part(url, '-', 2) AS INT) AS year,
+             regexp_replace(entity, '^org\\.ent\\.pressagency\\.', '') AS agency
+           FROM read_parquet('$StageDir/kg_mentions/*.parquet')
+           WHERE entity <> 'pers.ind.articleauthor'),
+         e0 AS (SELECT DISTINCT newspaper, agency, year FROM am),
+         years(year) AS (
+           SELECT MIN(year) FROM e0
+           UNION ALL
+           SELECT year + 1 FROM years
+           WHERE year < (SELECT MAX(year) FROM e0)),
+         agdim AS (SELECT agency AS node, start_year, end_year
+                   FROM read_parquet('$StageDir/agency_dim/*.parquet')),
+         npdim AS (SELECT newspaper AS node, MIN(year) AS start_year,
+                     MAX(year) AS end_year FROM am GROUP BY 1),
+         agy AS (SELECT y.year, d.node FROM years y JOIN agdim d
+                 ON y.year BETWEEN d.start_year AND d.end_year),
+         npy AS (SELECT y.year, d.node FROM years y JOIN npdim d
+                 ON y.year BETWEEN d.start_year AND d.end_year),
+         ey AS (SELECT e.* FROM e0 e
+                WHERE EXISTS (SELECT 1 FROM agy
+                              WHERE agy.year = e.year AND agy.node = e.agency)
+                  AND EXISTS (SELECT 1 FROM npy
+                              WHERE npy.year = e.year AND npy.node = e.newspaper)),
+         cce AS (SELECT CAST(year AS VARCHAR) || '|np|' || newspaper AS src,
+                   CAST(year AS VARCHAR) || '|ag|' || agency AS dst FROM ey),
+         edges AS (SELECT src, dst FROM cce UNION SELECT dst, src FROM cce),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+         yofn AS (SELECT DISTINCT year,
+                    CAST(year AS VARCHAR) || '|np|' || newspaper AS node FROM ey
+                  UNION
+                  SELECT DISTINCT year,
+                    CAST(year AS VARCHAR) || '|ag|' || agency FROM ey),
+         ecomp AS (SELECT y.year, COUNT(DISTINCT c.component) AS n_edge_components
+                   FROM comp c JOIN yofn y ON y.node = c.node GROUP BY 1),
+         nag AS (SELECT year, COUNT(*) AS n_ag FROM agy GROUP BY 1),
+         nnp AS (SELECT year, COUNT(*) AS n_np FROM npy GROUP BY 1),
+         nedg AS (SELECT year, COUNT(*) AS n_edges FROM ey GROUP BY 1),
+         ncon AS (SELECT year, COUNT(*) AS n_connected_nodes FROM yofn GROUP BY 1)
+         SELECT y.year,
+           COALESCE(nag.n_ag, 0) AS n_ag,
+           COALESCE(nnp.n_np, 0) AS n_np,
+           COALESCE(nedg.n_edges, 0) AS n_edges,
+           CASE WHEN COALESCE(nag.n_ag, 0) > 0 AND COALESCE(nnp.n_np, 0) > 0
+                THEN CAST(COALESCE(nedg.n_edges, 0) AS DOUBLE)
+                     / (nag.n_ag * nnp.n_np)
+                ELSE 0.0 END AS density,
+           COALESCE(ecomp.n_edge_components, 0)
+             + (COALESCE(nag.n_ag, 0) + COALESCE(nnp.n_np, 0)
+                - COALESCE(ncon.n_connected_nodes, 0)) AS n_components
+         FROM years y
+         LEFT JOIN nag USING (year) LEFT JOIN nnp USING (year)
+         LEFT JOIN nedg USING (year) LEFT JOIN ecomp USING (year)
+         LEFT JOIN ncon USING (year)"""
   )
 }

@@ -35,6 +35,36 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 30): DataFrame =
     runCounted(edges, maxIter)._1
 
+  /** CC over STRING node names through a dense-id dictionary — the
+    * collision-free replacement for hashing names to 64-bit keys (at the
+    * north rule's 10^12-doc scale distinct surfaces reach 10^9-10^10,
+    * where 64-bit collisions are EXPECTED — birthday bound ~4×10^9 — and
+    * silently merge components). `monotonically_increasing_id` is unique
+    * by construction (partition id ⊕ per-partition counter) and the eager
+    * localCheckpoint freezes the assignment so both edge-mapping joins and
+    * the final name join read the same ids.
+    *
+    * Input: edges with string columns `src`, `dst` (namespace-prefix the
+    * two sides of a bipartite graph before calling). Output:
+    * `(name, component)` — component ids are dictionary-internal longs;
+    * downstream must use label-invariant views (sizes, memberships),
+    * never the raw label.
+    */
+  def runOnNames(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val nodes = edges.select(col("src").as("name"))
+      .unionAll(edges.select(col("dst").as("name")))
+      .distinct()
+      .withColumn("id", monotonically_increasing_id())
+      .localCheckpoint()
+    val e = edges
+      .join(nodes.select(col("name").as("src"), col("id").as("_srcId")), "src")
+      .join(nodes.select(col("name").as("dst"), col("id").as("_dstId")), "dst")
+      .select(col("_srcId").as("src"), col("_dstId").as("dst"))
+    run(e, maxIter)
+      .join(nodes.select(col("id").as("node"), col("name")), "node")
+      .select(col("name"), col("component"))
+  }
+
   /** As [[run]], additionally returning the number of rounds executed —
     * per-call observability for capacity math (the loop's shuffle count is
     * rounds × per-round stages) that is safe under concurrent runs. */

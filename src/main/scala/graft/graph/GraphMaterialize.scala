@@ -173,12 +173,17 @@ object GraphMaterialize {
         Seq("year", "newspaper"), "left_semi")
       .localCheckpoint()
 
+    // composite (year|side|name) STRING keys solved by ONE CC run for all
+    // years; runOnNames densifies them through a dictionary — collision-
+    // free, unlike the previous xxhash64(key) whose 64-bit birthday bound
+    // would silently merge components at north-rule node counts
     def nodeKey(side: String, node: Column): Column =
-      xxhash64(concat_ws("|", col("year").cast("string"), lit(side), node))
+      concat_ws("|", col("year").cast("string"), lit(side), node)
     val ccEdges = eY.select(
       nodeKey("np", col("newspaper")).as("src"),
       nodeKey("ag", col("agency")).as("dst"))
-    val labels = graft.canon.ConnectedComponents.run(ccEdges)
+    val labels = graft.canon.ConnectedComponents.runOnNames(ccEdges)
+      .withColumnRenamed("name", "node")
     val yearOfNode = eY.select(col("year"), nodeKey("np", col("newspaper")).as("node"))
       .unionByName(eY.select(col("year"), nodeKey("ag", col("agency")).as("node")))
       .distinct()

@@ -194,4 +194,31 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(labels.forall(_.getLong(1) == 0L))
     assert(labels.length == 12)
   }
+
+  test("CC on names: dictionary keys never collide (distinct nodes stay distinct)") {
+    import spark.implicits._
+    // 5k disjoint string-keyed pairs across 16 partitions; any key
+    // collision in the dense-id dictionary would merge two pairs and the
+    // component count would drop below 5k. (This is the property the old
+    // xxhash64(name) keys could only satisfy probabilistically.)
+    val n = 5000
+    val edges = spark.range(0, n, 1, 16)
+      .select(concat(lit("left|node-"), col("id")).as("src"),
+        concat(lit("right|node-"), col("id")).as("dst"))
+    val labels = ConnectedComponents.runOnNames(edges)
+    assert(labels.count() == 2L * n)
+    val sizes = labels.groupBy(col("component")).count().collect()
+    assert(sizes.length == n)
+    assert(sizes.forall(_.getLong(1) == 2L))
+  }
+
+  test("CC on names matches CC on longs for the known graph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "d"), ("x", "y"))
+      .toDF("src", "dst")
+    val comps = ConnectedComponents.runOnNames(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(comps == Set(Set("a", "b", "c", "d"), Set("x", "y")))
+  }
 }
