@@ -420,15 +420,20 @@ object SparkEntry {
         .getSeq[Float](0)
       Ann.topKCosineLsh(emb, q, 10, bits = 4)
     }),
-    // IVF at the scale setting (nprobe < nlist): rows-only; recall vs
-    // brute force is spec-measured in OpsSpec
+    // IVF at the scale setting (nprobe < nlist) over the PHYSICAL layout:
+    // assignment (native argmin projection) written as the parquet
+    // partition column, search pruning partitions at the source (PlanSpec
+    // asserts the PartitionFilters). Rows-only; recall vs brute force is
+    // spec-measured in OpsSpec
     "kg11_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
       val (centers, assigned) = Ann.ivfIndex(emb, nlist = 8)
-      Ann.ivfSearch(assigned, centers, q, k = 10, nprobe = 2)
+      Ann.writeIvfLayout(assigned, s"$StageDir/ivf")
+      Ann.ivfSearchPartitioned(s, s"$StageDir/ivf", centers, q, k = 10,
+        nprobe = 2)
     }),
     // full HIPE evaluation report (4 regimes × per-type + ALL, micro +
     // macro-over-types) of the NER output against the synthetic gold —

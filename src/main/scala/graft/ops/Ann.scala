@@ -111,7 +111,16 @@ object Ann {
     * a candidate if it collides in ANY band (recall compounds per band —
     * near-identical vectors miss a b-bit band with prob ≈ b·θ/π, so four
     * 8-bit bands push recall ≥ 0.999 at θ ≈ 0.05 rad). Bucket fan-out is
-    * capped like the MinHash path (boilerplate guard). */
+    * capped like the MinHash path (boilerplate guard).
+    *
+    * Shuffle shape (100-TB note): the banded self-join exchanges ONLY
+    * `(band, key, vec_id)` — the embedding is consumed by the key
+    * expression and never shipped (at dim 768 the former
+    * vectors-through-the-shuffle form cost 2×bands×3 KB per row ≈ 24 KB/row
+    * of exchange). Candidate pairs are deduped across bands FIRST, then the
+    * two vectors are re-attached with one equi-join each for the exact
+    * verify — the same shape as the MinHash path's Jaccard verify
+    * ([[Dedup.jaccardVerify]]). */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
       dim: Int,
@@ -122,9 +131,10 @@ object Ann {
       seed: Long = 7L
   ): DataFrame = {
     // all band keys in one pass (native expression), then posexplode —
-    // the embedding is traversed once per row, not bands×bits times
+    // the embedding is traversed once per row, not bands×bits times, and
+    // is DROPPED here: only ids travel through the banded shuffle
     val bandedAll = embeddings
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(lshBandKeys(col("embedding"), bits, bands, seed))
           .as(Seq("band", "key")))
     // skew guard: a degenerate bucket (e.g. the all-zeros region) would go
@@ -137,17 +147,19 @@ object Ann {
       .withColumn("_bsz", count(lit(1)).over(bw))
       .where(col("_bsz") <= maxBucket)
       .drop("_bsz")
-    val a = banded.select(col("band"), col("key"),
-      col("vec_id").as("id1"), col("embedding").as("e1"))
-    val bDf = banded.select(col("band"), col("key"),
-      col("vec_id").as("id2"), col("embedding").as("e2"))
-    a.join(bDf, Seq("band", "key"))
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id1"))
+    val bDf = banded.select(col("band"), col("key"), col("vec_id").as("id2"))
+    val pairs = a.join(bDf, Seq("band", "key"))
       .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct() // dedup multi-band collisions BEFORE touching vectors
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .select(col("id1"), col("id2"),
         cosine(col("e1"), col("e2")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .groupBy(col("id1"), col("id2"))
-      .agg(first(col("cosine")).as("cosine"))
   }
 
   /** IVF-style coarse quantization: per-bucket centroid table (one
@@ -161,9 +173,22 @@ object Ann {
 
   // ---- IVF (k-means coarse quantizer + nprobe search) ------------------
 
-  /** IVF index: a k-means coarse quantizer (Spark MLlib, seeded) assigns
-    * every vector to one of `nlist` inverted lists. At corpus scale the
-    * assignment column becomes the partition/cluster key, so a query
+  /** Squared-L2 argmin assignment against a broadcast centroid matrix —
+    * native codegen'd expression ([[graft.functions.NearestCentroid]]),
+    * no UDF boxing in the assignment lineage. */
+  def nearestCentroid(emb: Column, centers: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NearestCentroid(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(emb),
+        centers.map(_.toSeq).toSeq))
+
+  /** IVF index: a k-means coarse quantizer (Spark MLlib, seeded) learns
+    * `nlist` centroids; every vector is then assigned by the native
+    * [[nearestCentroid]] argmin projection — the boxed vector-conversion
+    * UDF exists only inside the FIT path (bounded: the quantizer trains
+    * on nlist-scale statistics; at corpus scale fit on a sample), never
+    * in the returned assignment lineage. At corpus scale the assignment
+    * column becomes the partition key ([[writeIvfLayout]]), so a query
     * touches only `nprobe`/`nlist` of the data — the classic IVF-flat
     * trade next to the hash-based [[topKCosineLsh]].
     *
@@ -181,11 +206,34 @@ object Ann {
     val feat = embeddings.withColumn("_features", toVec(col("embedding")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("_features").setPredictionCol("ivf_list")
+      .setFeaturesCol("_features").setPredictionCol("_mllib_list")
       .fit(feat)
-    (model.clusterCenters.map(_.toArray),
-      model.transform(feat).drop("_features"))
+    val centers = model.clusterCenters.map(_.toArray)
+    (centers, embeddings.withColumn(
+      "ivf_list", nearestCentroid(col("embedding"), centers)))
   }
+
+  /** IVF as a PHYSICAL layout: the inverted-list assignment becomes the
+    * parquet partition column, so [[ivfSearch]]'s `ivf_list IN (probes)`
+    * predicate prunes whole partitions at the source — the scan never
+    * opens the other `nlist - nprobe` lists' files (PlanSpec asserts the
+    * PartitionFilters). This is the 100-TB shape: assignment once at
+    * ingest, every query rereads `nprobe/nlist` of the bytes. */
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned
+      .repartition(col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+  /** nprobe search over the partitioned layout (see [[writeIvfLayout]]). */
+  def ivfSearchPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      centers: Array[Array[Double]],
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int
+  ): DataFrame =
+    ivfSearch(spark.read.parquet(path), centers, query, k, nprobe)
 
   /** IVF search: rank centroids against the query DRIVER-side (nlist
     * rows — no job), then brute-force cosine inside the `nprobe` nearest

@@ -157,6 +157,46 @@ class OpsSpec extends AnyFunSuite {
     // extras must genuinely be >= 0.98 cosine (exact-verified by design)
   }
 
+  test("embedding near-dup: shuffles carry ids, never the vectors") {
+    import spark.implicits._
+    // 2000 vectors × dim 256 = 2 MB of raw vector payload. The former plan
+    // shipped the embedding through the window + banded-self-join
+    // exchanges on BOTH sides (≥ 2 × bands × payload ≈ 16 MB of exchange);
+    // the id-only plan must stay under ONE raw payload pass in TOTAL
+    // shuffle writes (ids + band keys only; the re-attach join broadcasts
+    // here and storage-partitions at scale).
+    val n = 2000L
+    val dim = 256
+    val df = spark.range(0, n, 1, 8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)) / 1000.0).cast("float"))
+        .as("embedding"))
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) written.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Ann.embeddingNearDupPairs(df, dim = dim, minCosine = 0.99,
+        bits = 8, bands = 4).collect()
+      // listener events are async: poll until the counter stabilizes
+      var last = -1L
+      var spins = 0
+      while (written.get() != last && spins < 50) {
+        last = written.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val rawPayload = n * dim * 4
+    info(s"shuffle bytes written: ${written.get()} (raw vector payload: $rawPayload)")
+    assert(written.get() < rawPayload,
+      s"near-dup shuffles ${written.get()} bytes >= one raw vector pass " +
+        s"($rawPayload) — is the embedding traveling through an exchange?")
+  }
+
   // --- text analysis ---
 
   test("langId picks the dominant marker language with priority tie-break") {

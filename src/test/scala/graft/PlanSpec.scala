@@ -87,6 +87,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF layout: nprobe search prunes partitions at the parquet source") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 400L)
+      .map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val (centers, assigned) = graft.ops.Ann.ivfIndex(emb, nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_layout").toString
+    graft.ops.Ann.writeIvfLayout(assigned, path)
+    // 8 list directories on disk, nprobe=2 search
+    val dirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ivf_list="))
+    assert(dirs == 8, s"expected 8 list partitions, found $dirs")
+    val res = graft.ops.Ann.ivfSearchPartitioned(spark, path, centers, q,
+      k = 5, nprobe = 2)
+    assert(res.collect().length == 5)
+    val scan = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan")).getOrElse("")
+    // the isin(probes) predicate must reach the scan as a PARTITION filter
+    // (pruning whole directories), not merely a pushed data filter
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[", "")
+        .takeWhile(_ != ']').contains("ivf_list"),
+      scan)
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
