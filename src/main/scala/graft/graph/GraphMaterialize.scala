@@ -305,6 +305,121 @@ object GraphMaterialize {
     sb.toString
   }
 
+  // ---- attributed GEXF (reference `nx.write_gexf(G_yearly)` parity) ----
+
+  /** Agency node attributes, mirroring `df_newsagencies`
+    * (`network_analysis.ipynb cell 7`): languages the agency was mentioned
+    * in (comma-joined, sorted here for determinism — pandas' set-insertion
+    * order is itself nondeterministic), existence interval from the dim
+    * (Havas/Europapress fixups live in the gazetteer constants), and the
+    * QID; missing values fill 'unk' like the reference's `fillna`. */
+  def agencyNodeAttrs(analytic: DataFrame): DataFrame = {
+    val langs = analytic.groupBy(col("agency").as("node"))
+      .agg(concat_ws(", ", sort_array(collect_set(col("lang"))))
+        .as("language"))
+    langs.join(
+      broadcast(agencyDim(analytic.sparkSession)
+        .withColumnRenamed("agency", "node")), Seq("node"), "left")
+      .select(col("node"), lit(1).as("bipartite"),
+        coalesce(col("start_year"), lit(1840)).as("start_year"),
+        coalesce(col("end_year"), lit(2020)).as("end_year"),
+        coalesce(col("language"), lit("unk")).as("language"),
+        coalesce(col("qid"), lit("unk")).as("extra"))
+  }
+
+  /** Newspaper node attributes, mirroring `np_df`
+    * (`network_analysis.ipynb cells 11-13`): per-newspaper language and
+    * country (min for determinism — pandas `groupby.first` depends on row
+    * order) plus the corpus-presence interval. */
+  def newspaperNodeAttrs(analytic: DataFrame): DataFrame =
+    analytic.groupBy(col("newspaper").as("node"))
+      .agg(lit(0).as("bipartite"),
+        min(col("year")).as("start_year"), max(col("year")).as("end_year"),
+        min(col("lang")).as("language"),
+        min(col("country")).as("extra"))
+
+  /** GEXF export with the reference's node and edge attributes
+    * (`nx.write_gexf(G_yearly)`, `network_analysis.ipynb cells 15-16,
+    * 59-60`): per-node bipartite side, existence interval, language and
+    * country/QID; per-edge year and decade (the yearly MultiGraph has one
+    * edge per (np, agency, year)) with the weight on the edge element as
+    * GEXF's native attribute.
+    *
+    * Driver-side by design, like [[toGexf]]: exports run on the
+    * post-threshold edge list (thousands of rows), never the mention
+    * table. */
+  def toGexfYearly(
+      yearlyEdges: DataFrame, // (newspaper, agency, year, weight, decade)
+      npAttrs: DataFrame, // [[newspaperNodeAttrs]] shape
+      agAttrs: DataFrame // [[agencyNodeAttrs]] shape
+  ): String = {
+    val rows = yearlyEdges
+      .select(col("newspaper").cast("string"), col("agency").cast("string"),
+        col("year").cast("int"), col("weight").cast("double"),
+        col("decade").cast("int"))
+      .orderBy(col("newspaper"), col("agency"), col("year"))
+      .collect()
+    def attrMap(df: DataFrame) = df
+      .select(col("node").cast("string"), col("bipartite").cast("int"),
+        col("start_year").cast("int"), col("end_year").cast("int"),
+        col("language").cast("string"), col("extra").cast("string"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4), r.getString(5))))
+      .toMap
+    val np = attrMap(npAttrs)
+    val ag = attrMap(agAttrs)
+    val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
+    sb.append("""<gexf xmlns="http://gexf.net/1.2" version="1.2">""").append('\n')
+    sb.append("""  <graph defaultedgetype="undirected">""").append('\n')
+    sb.append("""    <attributes class="node">""").append('\n')
+    Seq("bipartite" -> "integer", "start_year" -> "integer",
+      "end_year" -> "integer", "language" -> "string", "extra" -> "string")
+      .zipWithIndex.foreach { case ((t, ty), i) =>
+        sb.append(s"""      <attribute id="$i" title="$t" type="$ty"/>""")
+          .append('\n')
+      }
+    sb.append("    </attributes>\n")
+    sb.append("""    <attributes class="edge">""").append('\n')
+    sb.append("""      <attribute id="0" title="year" type="integer"/>""")
+      .append('\n')
+    sb.append("""      <attribute id="1" title="decade" type="integer"/>""")
+      .append('\n')
+    sb.append("    </attributes>\n    <nodes>\n")
+    nodes.foreach { n =>
+      val (bip, sy, ey, lang, extra) =
+        np.get(n).orElse(ag.get(n)).getOrElse((if (ag.contains(n)) 1 else 0,
+          1840, 2020, "unk", "unk"))
+      sb.append(s"""      <node id="${xml(n)}" label="${xml(n)}">""")
+        .append('\n')
+      sb.append("        <attvalues>\n")
+      Seq(bip.toString, sy.toString, ey.toString, lang, extra)
+        .zipWithIndex.foreach { case (v, i) =>
+          sb.append(s"""          <attvalue for="$i" value="${xml(v)}"/>""")
+            .append('\n')
+        }
+      sb.append("        </attvalues>\n      </node>\n")
+    }
+    sb.append("    </nodes>\n    <edges>\n")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      sb.append(s"""      <edge id="$i" source="${xml(r.getString(0))}" """ +
+        s"""target="${xml(r.getString(1))}" weight="${r.getDouble(3)}">""")
+        .append('\n')
+      sb.append("        <attvalues>\n")
+      sb.append(s"""          <attvalue for="0" value="${r.getInt(2)}"/>""")
+        .append('\n')
+      sb.append(s"""          <attvalue for="1" value="${r.getInt(4)}"/>""")
+        .append('\n')
+      sb.append("        </attvalues>\n      </edge>\n")
+    }
+    sb.append("    </edges>\n  </graph>\n</gexf>\n")
+    sb.toString
+  }
+
   private def xml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")

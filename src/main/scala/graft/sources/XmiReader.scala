@@ -90,9 +90,32 @@ object XmiReader {
     prev(m).toDouble / math.max(n, m)
   }
 
+  final case class XmiToken(begin: Int, end: Int, surface: String)
+
+  final case class XmiSegment(
+      begin: Int,
+      end: Int,
+      iiif: String,
+      tokens: IndexedSeq[XmiToken]
+  )
+
+  /** Complete parse result — everything the TSV converter
+    * ([[XmiToConll]]) needs. */
+  final case class XmiFull(
+      doc: XmiDocument,
+      entities: Seq[XmiEntity],
+      segments: IndexedSeq[XmiSegment],
+      autoSentenceEnds: Set[Int]
+  )
+
   /** Parse one XMI file. `docId` is the filename stem
     * (`NP-YYYY-MM-DD-e-iNNNN`). */
   def parse(docId: String, bytes: Array[Byte]): (XmiDocument, Seq[XmiEntity]) = {
+    val f = parseFull(docId, bytes)
+    (f.doc, f.entities)
+  }
+
+  def parseFull(docId: String, bytes: Array[Byte]): XmiFull = {
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(false)
     // annotation exports are trusted local files, but keep the parser inert
@@ -124,12 +147,17 @@ object XmiReader {
       val (fine, coarse) =
         if (value == "pers.ind.articleauthor") (value, "pers")
         else (s"org.ent.pressagency.$value", "org")
-      // non-numeric begin/end/xmi:id skip the annotation (toIntOption),
-      // matching the converter's per-entity try/except — one malformed
-      // attribute must not fail the whole file's ingest task, the same
-      // policy the out-of-range guard below already applies
-      val begin = Option(attr(e, "begin")).flatMap(_.toIntOption).getOrElse(-1)
-      val end = Option(attr(e, "end")).flatMap(_.toIntOption).getOrElse(-1)
+      // non-numeric begin/end/xmi:id skip the annotation (toIntOption →
+      // -1), matching the converter's per-entity try/except — one
+      // malformed attribute must not fail the whole file's ingest task,
+      // the same policy the out-of-range guard below already applies.
+      // ABSENT begin/end mean 0: XMI omits zero-valued int attributes.
+      val begin =
+        if (!e.hasAttribute("begin")) 0
+        else attr(e, "begin").toIntOption.getOrElse(-1)
+      val end =
+        if (!e.hasAttribute("end")) 0
+        else attr(e, "end").toIntOption.getOrElse(-1)
       if (begin < 0 || end < begin || end > text.length) None
       else Some {
       val surface = text.substring(begin, end).replace("\n", "")
@@ -158,16 +186,59 @@ object XmiReader {
       }
     }
 
+    // XMI serialization omits zero-valued int attributes (a doc-initial
+    // begin="0" is simply absent) — absent means 0, present-but-garbled
+    // means skip
+    def intAt(e: Element, name: String): Option[Int] =
+      if (!e.hasAttribute(name)) Some(0) else e.getAttribute(name).toIntOption
+
+    val tokens = elems("type:Token").flatMap { e =>
+      for {
+        b <- intAt(e, "begin")
+        en <- intAt(e, "end")
+        if b >= 0 && en >= b && en <= text.length
+      } yield XmiToken(b, en, text.substring(b, en))
+    }.sortBy(_.begin)
+
+    val images = elems("custom:ImpressoImages").flatMap { e =>
+      for {
+        b <- intAt(e, "begin")
+        en <- intAt(e, "end")
+        link <- Option(attr(e, "link"))
+      } yield (b, en, link)
+    }
+
+    val segments = elems("type:Sentence").flatMap { e =>
+      for {
+        b <- intAt(e, "begin")
+        en <- intAt(e, "end")
+      } yield {
+        // covered = within the segment's span (cassis select_covered);
+        // empty covered text is skipped (convert_xmi2clef_format.py:181)
+        val segToks = tokens
+          .filter(t => t.begin >= b && t.end <= en && t.surface.nonEmpty)
+          .toIndexedSeq
+        // first image annotation within the segment that carries a link
+        // (the converter's for/break; none → "_")
+        val iiif = images.find(i => i._1 >= b && i._2 <= en)
+          .map(_._3).getOrElse("_")
+        XmiSegment(b, en, iiif, segToks)
+      }
+    }.sortBy(_.begin).toIndexedSeq
+
+    val autoEnds = elems("custom:PySBDSegment")
+      .flatMap(e => intAt(e, "end")).toSet
+
     val d = XmiDocument(
       docId = docId,
       newspaper = newspaper,
       date = date,
       text = text,
       tooNoisy = tooNoisy,
-      nSegments = elems("type:Sentence").size,
+      nSegments = segments.size,
       nTokens = elems("type:Token").size,
       nAutoSentences = elems("custom:PySBDSegment").size)
-    (d, entities)
+    XmiFull(d, entities, segments, autoEnds)
   }
 
   private def parsedFiles(spark: SparkSession, glob: String) = {

@@ -162,6 +162,52 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(gexf.split("<edge ").length == 3)
   }
 
+  test("attributed GEXF: node bipartite/interval/qid + per-edge year attributes") {
+    val analytic = GraphMaterialize.analyticMentions(
+      sparkMentions(("GDL-1936-05-02-a-i0001", "org.ent.pressagency.Havas"),
+        ("GDL-1937-05-02-a-i0002", "org.ent.pressagency.Havas"),
+        ("luxwort-1937-12-31-a-i0003", "org.ent.pressagency.Reuters")))
+    val edges = GraphMaterialize.yearlyEdges(analytic)
+    val gexf = GraphMaterialize.toGexfYearly(edges,
+      GraphMaterialize.newspaperNodeAttrs(analytic),
+      GraphMaterialize.agencyNodeAttrs(analytic))
+    val doc = scala.xml.XML.loadString(gexf)
+
+    // attribute declarations for both classes
+    val attrTitles = (doc \\ "attributes").flatMap(a =>
+      (a \ "attribute").map(n => ((a \@ "class"), (n \@ "title"))))
+    assert(attrTitles.contains(("node", "bipartite")))
+    assert(attrTitles.contains(("node", "start_year")))
+    assert(attrTitles.contains(("edge", "year")))
+
+    def nodeAttr(id: String, idx: String): String = {
+      val n = (doc \\ "node").find(_ \@ "id" == id).get
+      (n \\ "attvalue").find(_ \@ "for" == idx).get \@ "value"
+    }
+    // bipartite: newspapers 0, agencies 1 (cell 15)
+    assert(nodeAttr("GDL", "0") == "0")
+    assert(nodeAttr("Havas", "0") == "1")
+    // agency existence interval from the dim (Havas end 1944, cell 7)
+    assert(nodeAttr("Havas", "1") == "1835" && nodeAttr("Havas", "2") == "1944")
+    // newspaper corpus-presence interval + country in 'extra'
+    assert(nodeAttr("GDL", "1") == "1936" && nodeAttr("GDL", "2") == "1937")
+    assert(nodeAttr("GDL", "4") == "CH")
+    // agency QID in 'extra'
+    assert(nodeAttr("Havas", "4") == graft.core.Gazetteer
+      .qidOf("org.ent.pressagency.Havas"))
+
+    // multigraph edges: one per (np, agency, year), year/decade attvalues
+    val edgeNodes = doc \\ "edge"
+    assert(edgeNodes.length == 3) // GDL-Havas 1936, GDL-Havas 1937, luxwort-Reuters 1937
+    val gdlHavas = edgeNodes.filter(e =>
+      (e \@ "source") == "GDL" && (e \@ "target") == "Havas")
+    assert(gdlHavas.length == 2)
+    val years = gdlHavas.map(e =>
+      ((e \\ "attvalue").find(_ \@ "for" == "0").get \@ "value")).toSet
+    assert(years == Set("1936", "1937"))
+    assert(gdlHavas.forall(e => (e \@ "weight") == "1.0"))
+  }
+
   // --- connected components ---
 
   test("CC finds components on a known graph") {
