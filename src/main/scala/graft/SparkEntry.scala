@@ -361,8 +361,13 @@ object SparkEntry {
     // ---- KG pipeline (rows-only: NER semantics are not SQL-expressible;
     //      correctness is the P/R≥0.95 gate in the ScalaTest suite) ----
     "kg01_mentions" -> ((s, _) => kgMentions(s).toDF()),
-    "kg02_triples" -> ((s, _) =>
-      GraphMaterialize.triples(kgMentions(s)).toDF()),
+    // triples materialization — oracle-checked on the staged NER output
+    // (explode-to-two-triples + distinct is plain SQL once the mention
+    // table is pinned to parquet)
+    "kg02_triples" -> ((s, _) => {
+      import s.implicits._
+      GraphMaterialize.triples(stagedMentions(s).as[graft.core.Mention]).toDF()
+    }),
     // oracle-checked on the staged NER output (see stagedMentions):
     // DuckDB recomputes the yearly-edge aggregation + existence filter
     // over the identical parquet rows
@@ -800,6 +805,16 @@ object SparkEntry {
     // `am` rederives the analytic columns (newspaper/year/decade/agency
     // from the mention url/entity — import_data.ipynb cell 7) so the
     // oracle is independent of the Spark derivation too.
+    "kg02_triples" ->
+      s"""WITH m AS (
+           SELECT url, qid, surface
+           FROM read_parquet('$StageDir/kg_mentions/*.parquet')
+           WHERE qid <> 'NIL'),
+         t AS (
+           SELECT url AS subj, 'mentions_agency' AS pred, qid AS obj FROM m
+           UNION
+           SELECT qid AS subj, 'alias' AS pred, surface AS obj FROM m)
+         SELECT DISTINCT subj, pred, obj FROM t""",
     "kg03_yearly_edges" ->
       s"""WITH am AS (
            SELECT split_part(url, '-', 1) AS newspaper,
