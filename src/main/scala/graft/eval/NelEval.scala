@@ -327,4 +327,17 @@ object NelEval {
       .distinct().collect().map(_.getString(0)).toSet -- NonTags
     SpanEval.reportFromScenarios(scenarioCounts(pred, gold, primaries))
   }
+
+  /** Sliced NEL evaluation over link tables — the `--noise-level` /
+    * `--time-period` CLI regimes applied to entity linking, the same shape
+    * as [[SpanEval.reportSliced]]: each named predicate filters BOTH
+    * tables, then the full report runs on the slice (use
+    * [[SpanEval.timeSlices]]/[[SpanEval.noiseSlices]] to build the
+    * predicates over year/LED columns carried on the link rows). */
+  def reportSliced(pred: DataFrame, gold: DataFrame,
+      slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    slices.map { case (name, predicate) =>
+      reportFromLinkTables(pred.where(predicate), gold.where(predicate))
+        .withColumn("slice", lit(name))
+    }.reduce(_ unionByName _)
 }

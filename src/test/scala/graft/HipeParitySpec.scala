@@ -424,6 +424,49 @@ class HipeParitySpec extends AnyFunSuite {
       "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
   }
 
+  test("NEL fuzz: seeded randomized fixtures match the reference scorer (3 pairs × 3 modes)") {
+    // committed differential fixtures (tools/gen_nel_fuzz.py: random docs
+    // planting singleton links on O tokens, consecutive equal links,
+    // mid-span link changes, pipe alternatives, '_' links inside spans,
+    // NIL/QID confusions, boundary shifts; expectations generated by the
+    // reference scorer itself via tools/run_hipe_scorer.py)
+    val dir = "src/test/resources/nel/fuzz"
+    assume(new java.io.File(dir).isDirectory)
+    (0 until 3).foreach { p =>
+      Seq(
+        (s"fuzz-$p-original_n1.json", None, 1),
+        (s"fuzz-$p-original_n3.json", None, 3),
+        (s"fuzz-$p-ner_n1.json", Some((t: TsvToken) => t.neCoarseLit), 1)
+      ).foreach { case (json, nerCol, nBest) =>
+        checkNel(s"$dir/fuzz-$p-true.tsv", s"$dir/fuzz-$p-pred.tsv",
+          s"$dir/$json", Seq(_.nelLit), nerCol, nBest)
+      }
+    }
+  }
+
+  test("NEL sliced report: TIME predicates filter both link tables per slice") {
+    import spark.implicits._
+    // doc A (year 1900): exact QID match; doc B (year 1950): boundary-equal
+    // wrong QID (scenario IV → fp+fn under strict)
+    val pred = Seq(
+      ("A", Seq("Q1"), 0, 2, 1900), ("B", Seq("Q42"), 0, 2, 1950))
+      .toDF("url", "types", "l", "r", "year")
+    val gold = Seq(
+      ("A", "Q1", 0, 2, 1900), ("B", "Q7", 0, 2, 1950))
+      .toDF("url", "entity", "l", "r", "year")
+    val slices = graft.eval.SpanEval.timeSlices(col("year"),
+      Seq((1880, 1920), (1930, 1960)))
+    val rep = graft.eval.NelEval.reportSliced(pred, gold, slices)
+      .where(col("eType") === "ALL" && col("regime") === "strict")
+      .collect()
+      .map(r => r.getAs[String]("slice") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))))
+      .toMap
+    assert(rep("TIME-ALL") == ((1L, 1L, 1L)))
+    assert(rep("TIME-1880-1920") == ((1L, 0L, 0L)))
+    assert(rep("TIME-1930-1960") == ((0L, 1L, 1L)))
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
