@@ -51,11 +51,15 @@ object ConnectedComponents {
     * never the raw label.
     */
   def runOnNames(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // lazy checkpoint: the id assignment is frozen at first
+    // materialization (the RDD caches), so every consumer — both
+    // edge-mapping joins and the final name join — reads the SAME ids
+    // without spending a dedicated job on an eager materialization
     val nodes = edges.select(col("src").as("name"))
       .unionAll(edges.select(col("dst").as("name")))
       .distinct()
       .withColumn("id", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val e = edges
       .join(nodes.select(col("name").as("src"), col("id").as("_srcId")), "src")
       .join(nodes.select(col("name").as("dst"), col("id").as("_dstId")), "dst")
@@ -76,12 +80,16 @@ object ConnectedComponents {
       .unionAll(
         edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
+    // lazy like `sym`: round 1's convergence count materializes both in
+    // its own job (persisted blocks cache on first compute, so the
+    // self-join branches below still read ONE materialization) — eager
+    // checkpoints here would spend two extra jobs for the same state
     var labels = sym.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var iter = 0
     var converged = false

@@ -147,21 +147,22 @@ object GraphMaterialize {
     // agg AND the distinct-edge filter, and its upstream is typically the
     // whole NER pipeline
     val e0 = edges.select(col("newspaper"), col("agency"), col("year"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val years = e0
       .agg(min(col("year")).as("y0"), max(col("year")).as("y1"))
       .select(explode(sequence(col("y0"), col("y1"))).as("year"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
-    // materialized once: these tiny (year, node) tables are reused by the
-    // edge filter, the counts and the isolated-node calc — without the
-    // checkpoint each reuse would re-evaluate the dim's upstream (for
-    // npIntervals that is the whole NER pipeline)
+    // materialized once (lazily — cached at the first consumer's job, no
+    // dedicated materialization job each): these tiny (year, node) tables
+    // are reused by the edge filter, the counts and the isolated-node
+    // calc — without the checkpoint each reuse would re-evaluate the
+    // dim's upstream (for npIntervals that is the whole NER pipeline)
     def existing(dim: DataFrame): DataFrame =
       years.join(broadcast(dim),
         col("year").between(col("start_year"), col("end_year")))
         .select(col("year"), col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val agY = existing(agencyIntervals)
     val npY = existing(npIntervals)
 
@@ -171,7 +172,7 @@ object GraphMaterialize {
         Seq("year", "agency"), "left_semi")
       .join(broadcast(npY.select(col("year"), col("node").as("newspaper"))),
         Seq("year", "newspaper"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // composite (year|side|name) STRING keys solved by ONE CC run for all
     // years; runOnNames densifies them through a dictionary — collision-

@@ -45,7 +45,15 @@ object StreamingKg {
   }
 
   /** Per-minute mention counts by agency with event-time watermarking —
-    * the streaming form of the yearly-edge aggregation (A4). */
+    * the streaming form of the yearly-edge aggregation (A4).
+    *
+    * Event time is the WARC fetch timestamp, not the historical
+    * publication date: Spark's global watermark starts at the epoch and
+    * only ratchets forward, so pre-1970 event times (the reference corpus
+    * starts in 1840) would never advance it and append-mode windows would
+    * never close. Ingest/fetch time is the correct event-time axis for a
+    * crawl stream anyway; publication-date analytics stay in the batch
+    * layer's year/decade group-bys. */
   def mentionRates(mentions: Dataset[Mention], articleTs: DataFrame): DataFrame =
     mentions.toDF()
       .join(articleTs, "url") // (url, warc_ts) dimension from the batch side

@@ -39,6 +39,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed mention rates: event-time windows close as the watermark advances") {
+    import spark.implicits._
+    import graft.core.Mention
+    val inDir = Files.createTempDirectory("rates_in").toString
+    val ckDir = Files.createTempDirectory("rates_ck").toString
+    def m(url: String, name: String) =
+      Mention(url, "org.ent.pressagency." + name, name, name, "Q1", 0, 0, 5,
+        0, 5, 1.0, "fr", url + ":0:5")
+    def writeBatch(ms: Seq[Mention]): Unit =
+      ms.toDS().write.mode("append").parquet(inDir)
+
+    // articleTs dimension: urls u1/u2 in minute T0, u3 in minute T0+1,
+    // u4 two hours later (advances the watermark past T0's windows),
+    // u5 three hours later (triggers the flush micro-batch).
+    // NB: Spark initializes the global watermark to the epoch and only
+    // ratchets it FORWARD, so pre-1970 event times (the reference corpus
+    // starts in 1840!) can never advance it — historical-archive streams
+    // must remap event time (e.g. ingest time) before watermarking.
+    val t0 = java.sql.Timestamp.valueOf("1990-06-01 10:00:10")
+    def plus(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val articleTs = Seq(
+      ("u1", t0), ("u2", plus(20)), ("u3", plus(70)),
+      ("u4", plus(7200)), ("u5", plus(10800))).toDF("url", "warc_ts")
+
+    writeBatch(Seq(m("u1", "Reuters"), m("u2", "Reuters"), m("u3", "Havas")))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Mention]].schema)
+      .parquet(inDir).as[Mention]
+    val q = StreamingKg.mentionRates(stream, articleTs)
+      .writeStream.format("memory").queryName("rates_out")
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // windows are still open: watermark = max_event - 1h < any window end
+      assert(spark.sql("SELECT * FROM rates_out").count() == 0)
+
+      // an event 2h later advances the watermark past T0's windows …
+      writeBatch(Seq(m("u4", "Wolff")))
+      q.processAllAvailable()
+      // … and the flush batch emits the closed windows
+      writeBatch(Seq(m("u5", "Wolff")))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT window.start, name, n_mentions FROM rates_out")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val min0 = java.sql.Timestamp.valueOf("1990-06-01 10:00:00")
+      val min1 = java.sql.Timestamp.valueOf("1990-06-01 10:01:00")
+      assert(closed == Map(
+        (min0, "Reuters") -> 2L, (min1, "Havas") -> 1L))
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup: first-seen wins across micro-batches, state counts dups") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("dedup_in").toString
