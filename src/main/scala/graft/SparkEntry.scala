@@ -51,8 +51,16 @@ object SparkEntry {
     * instead of falling back to a rows-only check; only the genuinely
     * non-SQL queries (trie NER, LSH internals, scorer scans) stay
     * rows-only. Mirrors the production pipeline shape, where NER output
-    * is checkpointed to parquet before the analytic stage anyway. */
-  private[graft] val StageDir = "/tmp/graft_stage"
+    * is checkpointed to parquet before the analytic stage anyway.
+    *
+    * The path is per-PROCESS: a shared fixed path would let a second JVM
+    * (test suite next to a bench run) overwrite the staging mid-read.
+    * Everything that needs the path — the queries and the oracle SQL this
+    * same JVM emits — interpolates the one value, so the driver's DuckDB
+    * pass (which runs after the JVM exits, against the emitted
+    * oracle_sql.json) reads exactly the files this process wrote. */
+  private[graft] val StageDir =
+    s"/tmp/graft_stage_${ProcessHandle.current().pid()}"
   @volatile private var staged = false
   private def stagedMentions(s: SparkSession): DataFrame = synchronized {
     if (!staged) {

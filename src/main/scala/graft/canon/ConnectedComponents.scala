@@ -51,15 +51,18 @@ object ConnectedComponents {
     * never the raw label.
     */
   def runOnNames(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    // lazy checkpoint: the id assignment is frozen at first
-    // materialization (the RDD caches), so every consumer — both
-    // edge-mapping joins and the final name join — reads the SAME ids
-    // without spending a dedicated job on an eager materialization
+    // EAGER checkpoint, deliberately: monotonically_increasing_id is
+    // nondeterministic under recompute (post-shuffle row order varies), so
+    // the id assignment must be frozen in its own job BEFORE any consumer
+    // runs — a lazy checkpoint materializing mid-job could, after a
+    // fetch-failure retry, hand the same name different ids in the src-
+    // vs dst-join branches and silently corrupt components. The lazy
+    // optimization is safe only for deterministic-content tables.
     val nodes = edges.select(col("src").as("name"))
       .unionAll(edges.select(col("dst").as("name")))
       .distinct()
       .withColumn("id", monotonically_increasing_id())
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val e = edges
       .join(nodes.select(col("name").as("src"), col("id").as("_srcId")), "src")
       .join(nodes.select(col("name").as("dst"), col("id").as("_dstId")), "dst")

@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  require(centers.nonEmpty && centers.head.nonEmpty,
+    "graft_nearest_centroid needs a non-empty centroid matrix")
+  require(centers.forall(_.length == centers.head.length),
+    "graft_nearest_centroid centroids must share one dimension")
+
   private def elemType: DataType = child.dataType match {
     case ArrayType(et, _) => et
     case _ => null
@@ -58,9 +63,20 @@ case class NearestCentroid(child: Expression, centers: Seq[Seq[Double]])
 
 object NearestCentroid {
 
+  /** Input shorter than the trained dim would read past the end of the
+    * unsafe array buffer — no exception, just garbage distances and
+    * silently wrong list assignments. Fail loudly instead (the MLlib
+    * transform this replaces validated vector size too). */
+  private def checkDim(a: ArrayData, dim: Int): Unit =
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: embedding has ${a.numElements()} " +
+          s"elements, centroids have dimension $dim")
+
   /** `flat` is the [k][dim] centroid matrix flattened row-major. */
   def assignFloat(a: ArrayData, flat: Array[Double], k: Int): Int = {
     val dim = flat.length / k
+    checkDim(a, dim)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -78,6 +94,7 @@ object NearestCentroid {
 
   def assignDouble(a: ArrayData, flat: Array[Double], k: Int): Int = {
     val dim = flat.length / k
+    checkDim(a, dim)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

@@ -372,6 +372,10 @@ object GraphMaterialize {
     val ag = attrMap(agAttrs)
     val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
+    // bipartite side from the edge position the node came from — the
+    // honest fallback for a node missing from its attribute dimension
+    val sideOf = rows.flatMap(r =>
+      Seq(r.getString(0) -> 0, r.getString(1) -> 1)).toMap
 
     val sb = new StringBuilder
     sb.append("""<?xml version="1.0" encoding="UTF-8"?>""").append('\n')
@@ -393,8 +397,8 @@ object GraphMaterialize {
     sb.append("    </attributes>\n    <nodes>\n")
     nodes.foreach { n =>
       val (bip, sy, ey, lang, extra) =
-        np.get(n).orElse(ag.get(n)).getOrElse((if (ag.contains(n)) 1 else 0,
-          1840, 2020, "unk", "unk"))
+        np.get(n).orElse(ag.get(n))
+          .getOrElse((sideOf(n), 1840, 2020, "unk", "unk"))
       sb.append(s"""      <node id="${xml(n)}" label="${xml(n)}">""")
         .append('\n')
       sb.append("        <attvalues>\n")

@@ -72,7 +72,10 @@ object ConllTsvReader {
           token = at(0),
           neCoarseLit = at(1),
           neFineLit = at(3),
-          nelLit = at(7),
+          // empty link cells (truncated/malformed rows) default to "_":
+          // a bare "" would slip past NelEval's NonTags filter and enter
+          // the tag universe as a scoreable link
+          nelLit = if (at(7).isEmpty) "_" else at(7),
           misc = if (cols.length >= 13) at(12) else cols.last,
           isEndOfSentence = eos,
           nelMeto = if (at(8).isEmpty) "_" else at(8))

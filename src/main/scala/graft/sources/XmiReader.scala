@@ -200,13 +200,17 @@ object XmiReader {
       } yield XmiToken(b, en, text.substring(b, en))
     }.sortBy(_.begin)
 
+    // sorted by offset like tokens/segments: cassis' select_covered
+    // iterates annotations in offset order, not XMI element order, and the
+    // converter takes the FIRST covered image — file order would diverge
+    // when a segment covers several images serialized out of order
     val images = elems("custom:ImpressoImages").flatMap { e =>
       for {
         b <- intAt(e, "begin")
         en <- intAt(e, "end")
         link <- Option(attr(e, "link"))
       } yield (b, en, link)
-    }
+    }.sortBy(i => (i._1, i._2))
 
     val segments = elems("type:Sentence").flatMap { e =>
       for {

@@ -42,9 +42,9 @@ object NearDupProbe {
       graft.ops.Ann.embeddingNearDupPairs(emb, dim = 64, minCosine = 0.98,
         bits = 12).count()
     }
-    time("full kg09 bits=12 bands=6") {
+    time("full kg09 bits=12 bands=8") {
       graft.ops.Ann.embeddingNearDupPairs(emb, dim = 64, minCosine = 0.98,
-        bits = 12, bands = 6).count()
+        bits = 12, bands = 8).count()
     }
     // stage: band keys + window cap only
     time("banded+cap") {
