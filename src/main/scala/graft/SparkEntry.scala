@@ -503,6 +503,27 @@ object SparkEntry {
         .select(col("url"), col("qid").as("entity"),
           col("lOffset").as("l"), col("rOffset").as("r"))
       graft.eval.NelEval.reportFromLinkTables(pred, gold)
+    }),
+    // NEL report sliced by TIME period (the scorer CLI's --time_period
+    // regime applied to entity linking): link tables carry the mention
+    // year parsed from the url id grammar; each slice filters BOTH
+    // tables, then the full QID-level report runs on the slice. Inputs
+    // are checkpointed ONCE — the NER pipeline must not re-run per slice.
+    "kg14_nel_sliced" -> ((s, _) => {
+      def year(df: DataFrame): DataFrame = df.withColumn(
+        "year", split(col("url"), "-").getItem(1).cast("int"))
+      val pred = year(kgMentions(s).toDF()
+        .select(col("url"), array(col("qid")).as("types"),
+          col("lOffset").as("l"), col("rOffset").as("r")))
+        .localCheckpoint()
+      val gold = year(graft.synth.Synth.gold(s, 2000, seed = 42L, partitions = 16)
+        .toDF()
+        .select(col("url"), col("qid").as("entity"),
+          col("lOffset").as("l"), col("rOffset").as("r")))
+        .localCheckpoint()
+      val slices = graft.eval.SpanEval.timeSlices(col("year"),
+        Seq((1840, 1919), (1920, 2000)))
+      graft.eval.NelEval.reportSliced(pred, gold, slices)
     })
   )
 
