@@ -111,5 +111,23 @@ final case class TsvToken(
     nelLit: String,
     misc: String,
     isEndOfSentence: Boolean,
-    nelMeto: String = "_"
-)
+    nelMeto: String = "_",
+    // OCR-INFO cell (col 11) — carries the `LEDx.xx` normalized-
+    // Levenshtein noise annotation the scorer's --noise_level slices
+    // filter on (utils.py:202)
+    ocrInfo: String = "_",
+    // document date from the `# date = YYYY-MM-DD` metadata row — the
+    // scorer's --time_period slice axis (utils.py:152-158,207); its
+    // fallback when the comment exists but holds no date is 2022-01-01
+    date: String = "2022-01-01"
+) {
+  /** Parsed LED noise level, `LED(\d+(\.\d+)?)` over OCR-INFO
+    * (utils.py:200-205): None when absent — the noise filter KEEPS
+    * un-annotated tokens (utils.py:236). */
+  def led: Option[Double] =
+    TsvToken.LedRe.findFirstMatchIn(ocrInfo).map(_.group(1).toDouble)
+}
+
+object TsvToken {
+  private val LedRe = "LED(\\d+(\\.\\d+)?)".r
+}

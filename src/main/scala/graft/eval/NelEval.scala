@@ -333,11 +333,89 @@ object NelEval {
     * as [[SpanEval.reportSliced]]: each named predicate filters BOTH
     * tables, then the full report runs on the slice (use
     * [[SpanEval.timeSlices]]/[[SpanEval.noiseSlices]] to build the
-    * predicates over year/LED columns carried on the link rows). */
+    * predicates over year/LED columns carried on the link rows).
+    *
+    * Scorer fidelity: the tag universe is computed ONCE over the
+    * UNFILTERED tables — the reference's `set_evaluation_tags` runs before
+    * any slice filtering, so a link seen only outside a slice still
+    * shapes scenario-II attribution inside it. Slicing at span level is
+    * exact for TIME (the date is per-document); for token-deletion LED
+    * semantics use [[reportSlicedFromTokens]]. */
   def reportSliced(pred: DataFrame, gold: DataFrame,
-      slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val primaries = pred.select(element_at(col("types"), 1).as("t"))
+      .unionAll(gold.select(col("entity").as("t")))
+      .distinct().collect().map(_.getString(0)).toSet -- NonTags
     slices.map { case (name, predicate) =>
-      reportFromLinkTables(pred.where(predicate), gold.where(predicate))
+      SpanEval.reportFromScenarios(
+        scenarioCounts(pred.where(predicate), gold.where(predicate), primaries))
         .withColumn("slice", lit(name))
     }.reduce(_ unionByName _)
+  }
+
+  /** Token-level sliced NEL report — the exact `--noise_level` /
+    * `--time_period` semantics over HIPE token tables: tokens are
+    * filtered per document by the GOLD token's LED/date (pred tokens
+    * removed at the same positions), link objects are collected from the
+    * FILTERED streams (so deletions can merge consecutive equal links or
+    * truncate NER-bounded spans), and the tag universe is global
+    * (computed once, unfiltered). Slice predicates:
+    * [[SpanEval.timeSliceToks]] / [[SpanEval.noiseSliceToks]]. */
+  def reportSlicedFromTokens(
+      predToks: Dataset[TsvToken], goldToks: Dataset[TsvToken],
+      linkCols: Seq[TsvToken => String] = Seq(_.nelLit),
+      nerCol: Option[TsvToken => String] = None,
+      nBest: Int = 1,
+      slices: Seq[(String, TsvToken => Boolean)] = Seq(("ALL", _ => true)))
+      : DataFrame = {
+    val spark = predToks.sparkSession
+    import spark.implicits._
+    val tags = tagUniverse(predToks, goldToks, linkCols)
+    val tagsB = spark.sparkContext.broadcast(tags)
+    val tagged = predToks.map(("P", _)).unionAll(goldToks.map(("G", _)))
+    val scan = tagged
+      .groupByKey(_._2.docId)
+      .flatMapGroups { (url: String, it: Iterator[(String, TsvToken)]) =>
+        val tg = tagsB.value
+        val rows = it.toSeq
+        val ps = rows.filter(_._1 == "P").map(_._2).sortBy(_.tokIdx).toIndexedSeq
+        val gs = rows.filter(_._1 == "G").map(_._2).sortBy(_.tokIdx).toIndexedSeq
+        require(ps.length == gs.length,
+          s"token shape mismatch in $url: pred ${ps.length} vs gold ${gs.length}")
+        def iob(l: String): String =
+          if (l.startsWith("S-")) "B-" + l.substring(2)
+          else if (l.startsWith("E-")) "I-" + l.substring(2)
+          else l
+        def nel(ts: IndexedSeq[TsvToken]): IndexedSeq[NelTok] =
+          ts.map(t => NelTok(t.token,
+            iob(nerCol.map(_(t)).getOrElse("O")), linkCols.map(_(t))))
+        slices.iterator.flatMap { case (name, keep) =>
+          val kept = gs.indices.filter(i => keep(gs(i)))
+          val pf = nel(kept.map(ps))
+          val gf = nel(kept.map(gs))
+          def collect(ts: IndexedSeq[NelTok], nb: Int, gsSide: Boolean) =
+            nerCol match {
+              case Some(_) => collectLinkObjectsNer(ts, nb, gsSide)
+              case None => collectLinkObjectsOriginal(ts, nb)
+            }
+          val preds = collect(pf, nBest, gsSide = false)
+            .map(o => (o.types, o.l, o.r))
+            .filter(_._1.exists(tg.contains)).toIndexedSeq
+          val golds = collect(gf, 1, gsSide = true)
+            .map(o => (o.types.head, o.l, o.r))
+            .filter(g => tg.contains(g._1)).toIndexedSeq
+          scanDoc(preds, golds, tg)
+            .groupBy(identity).map { case ((eType, scenario), hits) =>
+              (name, url, eType, hits.size.toLong, scenario)
+            }
+        }
+      }
+      .toDF("slice", "url", "eType", "n", "scenario")
+      .localCheckpoint() // one scan pass feeds every slice's assembly
+    slices.map { case (name, _) =>
+      SpanEval.reportFromScenarios(
+        scan.where(col("slice") === name).drop("slice"))
+        .withColumn("slice", lit(name))
+    }.reduce(_ unionByName _)
+  }
 }

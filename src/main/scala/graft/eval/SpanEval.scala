@@ -135,50 +135,59 @@ object SpanEval {
           .sortBy(t => (t._2, t._3, t._1))
         val golds = rows.filter(_._2 == "G").map(t => (t._3, t._4, t._5))
           .sortBy(t => (t._2, t._3, t._1)).toIndexedSeq
-        val overlapped = new Array[Boolean](golds.length)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-
-        preds.foreach { case (pe, pl, pr) =>
-          // Scenario I: first boundary+type-equal gold, no used-check
-          var iExact = -1
-          var gi = 0
-          while (iExact < 0 && gi < golds.length) {
-            val g = golds(gi)
-            if (g._1 == pe && g._2 == pl && g._3 == pr) iExact = gi
-            gi += 1
+        scanDocNerc(preds, golds)
+          .groupBy(identity).map { case ((eType, scenario), hits) =>
+            (url, eType, hits.size.toLong, scenario)
           }
-          if (iExact >= 0) {
-            overlapped(iExact) = true
-            out += ((pe, "I"))
-          } else {
-            // single pass over golds in order: per gold, Scenario IV
-            // (boundary-equal, no used-check) is tried before the overlap
-            // scenarios (first not-yet-overlapped gold)
-            var done = false
-            gi = 0
-            while (!done && gi < golds.length) {
-              val g = golds(gi)
-              if (g._2 == pl && g._3 == pr && g._1 != pe) {
-                overlapped(gi) = true
-                out += ((g._1, "IV"))
-                done = true
-              } else if (!overlapped(gi) && pl < g._3 && g._2 < pr) {
-                overlapped(gi) = true
-                out += ((g._1, if (g._1 == pe) "V" else "VI"))
-                done = true
-              } else gi += 1
-            }
-            if (!done) out += ((pe, "II")) // spurious
-          }
-        }
-        golds.indices.foreach { i =>
-          if (!overlapped(i)) out += ((golds(i)._1, "III")) // missed
-        }
-        out.groupBy(identity).map { case ((eType, scenario), hits) =>
-          (url, eType, hits.size.toLong, scenario)
-        }
       }
       .toDF("url", "eType", "n", "scenario")
+  }
+
+  /** The per-document NERC scenario scan itself — shared by the span-table
+    * path above and the token-level sliced path ([[reportSlicedTokens]]).
+    * Inputs are (eType, l, r) span triples in document order. */
+  private[eval] def scanDocNerc(
+      preds: Seq[(String, Int, Int)],
+      golds: IndexedSeq[(String, Int, Int)]): Seq[(String, String)] = {
+    val overlapped = new Array[Boolean](golds.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    preds.foreach { case (pe, pl, pr) =>
+      // Scenario I: first boundary+type-equal gold, no used-check
+      var iExact = -1
+      var gi = 0
+      while (iExact < 0 && gi < golds.length) {
+        val g = golds(gi)
+        if (g._1 == pe && g._2 == pl && g._3 == pr) iExact = gi
+        gi += 1
+      }
+      if (iExact >= 0) {
+        overlapped(iExact) = true
+        out += ((pe, "I"))
+      } else {
+        // single pass over golds in order: per gold, Scenario IV
+        // (boundary-equal, no used-check) is tried before the overlap
+        // scenarios (first not-yet-overlapped gold)
+        var done = false
+        gi = 0
+        while (!done && gi < golds.length) {
+          val g = golds(gi)
+          if (g._2 == pl && g._3 == pr && g._1 != pe) {
+            overlapped(gi) = true
+            out += ((g._1, "IV"))
+            done = true
+          } else if (!overlapped(gi) && pl < g._3 && g._2 < pr) {
+            overlapped(gi) = true
+            out += ((g._1, if (g._1 == pe) "V" else "VI"))
+            done = true
+          } else gi += 1
+        }
+        if (!done) out += ((pe, "II")) // spurious
+      }
+    }
+    golds.indices.foreach { i =>
+      if (!overlapped(i)) out += ((golds(i)._1, "III")) // missed
+    }
+    out.toSeq
   }
 
   /** Regime composition of the six scenarios (`ner_eval.py:395-400`). */
@@ -327,6 +336,92 @@ object SpanEval {
         col("possible"), col("actual"), col("tp"), col("fp"), col("fn"),
         col("p_micro"), col("r_micro"), col("f1_micro"), col("p_macro"),
         col("r_macro"), col("f1_macro")): _*)
+
+  // ---- token-level sliced evaluation (scorer-faithful) -----------------
+
+  /** Token-level sliced NERC report — the EXACT semantics of the scorer's
+    * `--noise_level` / `--time_period` regimes, which [[reportSliced]]'s
+    * span-level filtering can only approximate:
+    *
+    *  - the reference filters TOKENS (keeping pred tokens at the same
+    *    positions as kept gold tokens — `filter_entities_by_noise/date`,
+    *    utils.py:223-265) and only THEN collects entities, so removing
+    *    tokens can truncate, split, or merge entities — effects invisible
+    *    to span-level filtering;
+    *  - the filter predicate always reads the GOLD token (a pred span over
+    *    out-of-band gold tokens disappears with them);
+    *  - tokens without a LED annotation are KEPT by every noise band
+    *    (utils.py:236).
+    *
+    * Both token streams are paired per document BY POSITION (the scorer
+    * asserts equal shapes, ner_eval.py:111-129; this fails loudly on
+    * mismatch too). Spans keep original `tokIdx` positions — order-
+    * isomorphic to the reference's compressed per-segment indices, so
+    * every boundary/overlap judgment is identical. One scan pass computes
+    * every slice; the assembly reuses [[reportFromScenarios]].
+    *
+    * Returns the union of per-slice reports with a leading `slice` column.
+    */
+  def reportSlicedTokens(
+      predToks: org.apache.spark.sql.Dataset[graft.core.TsvToken],
+      goldToks: org.apache.spark.sql.Dataset[graft.core.TsvToken],
+      column: graft.core.TsvToken => String,
+      slices: Seq[(String, graft.core.TsvToken => Boolean)]): DataFrame = {
+    val spark = predToks.sparkSession
+    import spark.implicits._
+    val tagged = predToks.map(("P", _)).unionAll(goldToks.map(("G", _)))
+    val scan = tagged
+      .groupByKey(_._2.docId)
+      .flatMapGroups { (url: String, it: Iterator[(String, graft.core.TsvToken)]) =>
+        val rows = it.toSeq
+        val ps = rows.filter(_._1 == "P").map(_._2).sortBy(_.tokIdx).toIndexedSeq
+        val gs = rows.filter(_._1 == "G").map(_._2).sortBy(_.tokIdx).toIndexedSeq
+        require(ps.length == gs.length,
+          s"token shape mismatch in $url: pred ${ps.length} vs gold ${gs.length}")
+        slices.iterator.flatMap { case (name, keep) =>
+          val kept = gs.indices.filter(i => keep(gs(i)))
+          val pf = kept.map(ps)
+          val gf = kept.map(gs)
+          def spans(ts: Seq[graft.core.TsvToken]) =
+            graft.sources.ConllTsvReader.goldSpansBy(ts, column)
+              .map(s => (s.eType, s.start, s.end + 1))
+          scanDocNerc(spans(pf), spans(gf).toIndexedSeq)
+            .groupBy(identity).map { case ((eType, scenario), hits) =>
+              (name, url, eType, hits.size.toLong, scenario)
+            }
+        }
+      }
+      .toDF("slice", "url", "eType", "n", "scenario")
+      .localCheckpoint() // one scan pass feeds every slice's assembly
+    slices.map { case (name, _) =>
+      reportFromScenarios(scan.where(col("slice") === name).drop("slice"))
+        .withColumn("slice", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Token-level TIME slice predicates (`filter_entities_by_date`:
+    * `start <= DATE < end`, day precision — ISO-date string comparison is
+    * order-identical). */
+  def timeSliceToks(periods: Seq[(String, String)])
+      : Seq[(String, graft.core.TsvToken => Boolean)] =
+    ("TIME-ALL", (_: graft.core.TsvToken) => true) +: periods.map {
+      case (from, to) =>
+        (s"TIME-$from-$to",
+          (t: graft.core.TsvToken) => t.date >= from && t.date < to)
+    }
+
+  /** Token-level LED-noise slice predicates (`filter_entities_by_noise`:
+    * un-annotated tokens always kept; band is `lo <= LED < hi` plus the
+    * exact `lo == LED == hi` edge). */
+  def noiseSliceToks(bands: Seq[(Double, Double)])
+      : Seq[(String, graft.core.TsvToken => Boolean)] =
+    ("LED-ALL", (_: graft.core.TsvToken) => true) +: bands.map {
+      case (lo, hi) =>
+        (s"LED-$lo-$hi", (t: graft.core.TsvToken) => t.led match {
+          case None => true
+          case Some(l) => (lo <= l && l < hi) || (lo == l && l == hi)
+        })
+    }
 
   /** TIME-period slice predicates over a year column
     * (`--time_period` CLI ranges). */

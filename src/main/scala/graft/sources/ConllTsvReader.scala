@@ -41,6 +41,11 @@ object ConllTsvReader {
     var segId: Long = 0L
     var tokIdx: Int = 0
     var lastWasBoundary = true
+    // scorer semantics (utils.py:152-158): the date STICKS until the next
+    // `# date` row (it is not reset per document); a date row without a
+    // parseable YYYY-MM-DD falls back to 2022-01-01
+    var date: String = "2022-01-01"
+    val dateRe = "\\d{4}-\\d{2}-\\d{2}".r
     content.linesIterator.foreach { line =>
       if (line.startsWith("#")) {
         // `# key = value` metadata rows (convert_xmi2clef_format.py:417-442);
@@ -53,6 +58,8 @@ object ConllTsvReader {
           segId = 0L
           tokIdx = 0
           lastWasBoundary = true
+        } else if (key == "date" || key.endsWith(":date")) {
+          date = dateRe.findFirstIn(kv(1)).getOrElse("2022-01-01")
         }
       } else if (line.trim.isEmpty) {
         if (!lastWasBoundary) { segId += 1; lastWasBoundary = true }
@@ -78,7 +85,12 @@ object ConllTsvReader {
           nelLit = if (at(7).isEmpty) "_" else at(7),
           misc = if (cols.length >= 13) at(12) else cols.last,
           isEndOfSentence = eos,
-          nelMeto = if (at(8).isEmpty) "_" else at(8))
+          nelMeto = if (at(8).isEmpty) "_" else at(8),
+          // OCR-INFO exists only in the 13-col newsagency format; the
+          // 10-col hipe2022 layout has none → LED stays None and the
+          // noise filter keeps the token (utils.py KeyError branch)
+          ocrInfo = if (cols.length >= 13) at(11) else "_",
+          date = date)
         tokIdx += 1
         lastWasBoundary = false
         if (eos) { segId += 1; lastWasBoundary = true }

@@ -467,6 +467,85 @@ class HipeParitySpec extends AnyFunSuite {
     assert(rep("TIME-1930-1960") == ((0L, 1L, 1L)))
   }
 
+  // ---- TIME/LED sliced evaluation: differential fuzz --------------------
+  //
+  // No sliced expectations exist anywhere in the reference repo, so the
+  // --time_period/--noise_level regimes are validated purely
+  // differentially: tools/gen_slice_fuzz.py plants period-boundary docs
+  // (start inclusive, end exclusive), a pred doc whose DATE differs from
+  // gold (filter must read the GOLD token), mixed-LED-within-entity
+  // shapes (token deletion truncates/splits/merges spans), band-edge
+  // LED0.10, un-annotated tokens (kept by every band) and adversarial
+  // pred OCR-INFO — expectations come from the reference scorer itself.
+
+  private def sliceFuzzSlices = {
+    val time = SpanEval.timeSliceToks(Seq(("1900-01-01", "1930-01-01")))
+    val noise = SpanEval.noiseSliceToks(Seq((0.0, 0.1), (0.1, 1.1))).drop(1)
+    (time ++ noise, Map(
+      "TIME-ALL" -> "all",
+      "TIME-1900-01-01-1930-01-01" -> "time",
+      "LED-0.0-0.1" -> "led_lo",
+      "LED-0.1-1.1" -> "led_hi"))
+  }
+
+  private def checkSlicedReport(got: Map[(String, String, String), (Long, Long, Long)],
+      sliceToTag: Map[String, String], dir: String, p: Int, mode: String): Unit = {
+    sliceToTag.foreach { case (slice, tag) =>
+      val exp = expectedNel(s"$dir/sf-$p-${mode}_$tag.json")
+      exp.foreach { case ((section, regime), m) =>
+        if (Seq("TP", "FP", "FN").forall(m.contains)) {
+          val want = (m("TP"), m("FP"), m("FN"))
+          val have = got.getOrElse((slice, section.toUpperCase, regime),
+            if (want == ((0L, 0L, 0L))) (0L, 0L, 0L)
+            else fail(s"sf-$p $mode $slice: no row for $section/$regime " +
+              s"(expected $want)"))
+          assert(have == want,
+            s"sf-$p $mode $slice $section/$regime: got $have expected $want")
+        }
+      }
+    }
+  }
+
+  test("slice fuzz: token-level TIME/LED NERC slicing matches the reference scorer") {
+    val dir = "src/test/resources/nel/slicefuzz"
+    assume(new java.io.File(dir).isDirectory)
+    val (slices, sliceToTag) = sliceFuzzSlices
+    (0 until 3).foreach { p =>
+      val pred = nelTokens(s"$dir/sf-$p-pred.tsv")
+      val gold = nelTokens(s"$dir/sf-$p-true.tsv")
+      val got = SpanEval.reportSlicedTokens(pred, gold, _.neCoarseLit, slices)
+        .collect()
+        .map(r => (r.getAs[String]("slice"), r.getAs[String]("eType").toUpperCase,
+          r.getAs[String]("regime")) ->
+          ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))))
+        .toMap
+      checkSlicedReport(got, sliceToTag, dir, p, "nerc")
+    }
+  }
+
+  test("slice fuzz: token-level TIME/LED NEL slicing matches the reference scorer (both modes)") {
+    val dir = "src/test/resources/nel/slicefuzz"
+    assume(new java.io.File(dir).isDirectory)
+    val (slices, sliceToTag) = sliceFuzzSlices
+    (0 until 3).foreach { p =>
+      val pred = nelTokens(s"$dir/sf-$p-pred.tsv")
+      val gold = nelTokens(s"$dir/sf-$p-true.tsv")
+      Seq(
+        ("nel_orig", None),
+        ("nel_ner", Some((t: TsvToken) => t.neCoarseLit))
+      ).foreach { case (mode, nerCol) =>
+        val got = graft.eval.NelEval.reportSlicedFromTokens(
+          pred, gold, Seq(_.nelLit), nerCol, 1, slices)
+          .collect()
+          .map(r => (r.getAs[String]("slice"), r.getAs[String]("eType").toUpperCase,
+            r.getAs[String]("regime")) ->
+            ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))))
+          .toMap
+        checkSlicedReport(got, sliceToTag, dir, p, mode)
+      }
+    }
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R

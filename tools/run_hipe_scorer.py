@@ -37,7 +37,23 @@ def main():
     ap.add_argument("--extra-col", default=None,
                     help="second link column (union mode, e.g. NEL-METO)")
     ap.add_argument("--merge-lines", action="store_true")
+    ap.add_argument("--noise-level", default=None,
+                    help="LED band 'LO,HI' (filter_entities_by_noise)")
+    ap.add_argument("--time-period", default=None,
+                    help="date range 'YYYY-MM-DD,YYYY-MM-DD' "
+                         "(filter_entities_by_date, end exclusive)")
     args = ap.parse_args()
+
+    noise = None
+    if args.noise_level:
+        lo, hi = args.noise_level.split(",")
+        noise = (float(lo), float(hi))
+    period = None
+    if args.time_period:
+        from datetime import datetime
+        a, b = args.time_period.split(",")
+        period = (datetime.strptime(a, "%Y-%m-%d"),
+                  datetime.strptime(b, "%Y-%m-%d"))
 
     ev = Evaluator(args.true_tsv, args.pred_tsv)
     cols = [args.column] + ([args.extra_col] if args.extra_col else [])
@@ -48,6 +64,8 @@ def main():
         merge_lines=args.merge_lines,
         n_best=args.nbest,
         additional_columns=[args.ner_col] if args.ner_col else None,
+        noise_level=noise,
+        time_period=period,
     )
     eval_per_tag["ALL"] = eval_global
     json.dump(eval_per_tag, sys.stdout, indent=1, default=str)
