@@ -171,17 +171,18 @@ class HipeParitySpec extends AnyFunSuite {
   /** Parse the official results TSV (System/Evaluation/Label/P/R/F1/…/
     * TP/FP/FN) into ((LABEL, regime) → (TP, FP, FN)) for the unsliced
     * micro rows; the scorer's "fuzzy" is the ent_type regime. */
-  private def officialResults(file: String): Map[(String, String), (Long, Long, Long)] = {
+  private def officialResults(file: String, labelCol: String)
+      : Map[(String, String), (Long, Long, Long)] = {
     val lines = scala.io.Source.fromFile(file, "UTF-8").getLines().toSeq
     lines.drop(1).flatMap { line =>
       val f = line.split("\t", -1)
       if (f.length < 12) None
       else {
-        // NE-FINE-LIT only — NE-NESTED sections repeat the same regime
-        // suffixes with (mostly) zero counts
+        // the requested label column only — NE-NESTED sections repeat the
+        // same regime suffixes with (mostly) zero counts
         val regime = f(1) match {
-          case "NE-FINE-LIT-micro-fuzzy-TIME-ALL-LED-ALL" => Some("ent_type")
-          case "NE-FINE-LIT-micro-strict-TIME-ALL-LED-ALL" => Some("strict")
+          case s if s == s"$labelCol-micro-fuzzy-TIME-ALL-LED-ALL" => Some("ent_type")
+          case s if s == s"$labelCol-micro-strict-TIME-ALL-LED-ALL" => Some("strict")
           case _ => None
         }
         regime.map(r =>
@@ -191,11 +192,15 @@ class HipeParitySpec extends AnyFunSuite {
     }.toMap
   }
 
-  private def checkRealTestSet(lang: String, modelDir: String): Unit = {
-    val predFile = s"$modelDir/newsagency-data-test-${lang}_pred.tsv"
+  private def checkRealTestSet(lang: String, modelDir: String,
+      split: String = "test", task: String = "nerc_fine"): Unit = {
+    val (labelCol, column): (String, TsvToken => String) =
+      if (task == "nerc_fine") ("NE-FINE-LIT", _.neFineLit)
+      else ("NE-COARSE-LIT", _.neCoarseLit)
+    val predFile = s"$modelDir/newsagency-data-$split-${lang}_pred.tsv"
     val goldFile =
-      s"/root/reference/data/annotated_data/$lang/newsagency-data-test-$lang.tsv"
-    val officialFile = s"$modelDir/newsagency-data-test-${lang}_pred_nerc_fine.tsv"
+      s"/root/reference/data/annotated_data/$lang/newsagency-data-$split-$lang.tsv"
+    val officialFile = s"$modelDir/newsagency-data-$split-${lang}_pred_$task.tsv"
     assume(new java.io.File(predFile).isFile &&
       new java.io.File(goldFile).isFile &&
       new java.io.File(officialFile).isFile)
@@ -210,7 +215,7 @@ class HipeParitySpec extends AnyFunSuite {
     val content = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(goldFile)), "UTF-8")
     val refTags = ConllTsvReader.parse(content)
-      .map(_.neFineLit.split("\\|")(0).split("-").last)
+      .map(t => column(t).split("\\|")(0).split("-").last)
       .filterNot(Set("_", "-", "O")).toSet
     val inTags = udf((e: String) => refTags.contains(e))
     // key spans by document OCCURRENCE, not document_id: the committed
@@ -227,7 +232,7 @@ class HipeParitySpec extends AnyFunSuite {
         .flatMap { case (block, i) =>
           val toks = ConllTsvReader.parse(block)
           toks.groupBy(_.docId).toSeq.flatMap { case (doc, ts) =>
-            ConllTsvReader.goldSpansBy(ts.sortBy(_.tokIdx), _.neFineLit)
+            ConllTsvReader.goldSpansBy(ts.sortBy(_.tokIdx), column)
               .map(s => (s"$doc#$i", s.eType, s.start, s.end + 1))
           }
         }.toDF("url", "entity", "lOffset", "rOffset")
@@ -238,17 +243,18 @@ class HipeParitySpec extends AnyFunSuite {
       (r.getAs[String]("eType").toUpperCase, r.getAs[String]("regime")) ->
         ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))
     }.toMap
-    val official = officialResults(officialFile)
+    val official = officialResults(officialFile, labelCol)
     assert(official.nonEmpty)
     var checked = 0
     official.foreach { case (key @ (label, regime), want) =>
       val have = got.getOrElse(key,
         if (want == ((0L, 0L, 0L))) (0L, 0L, 0L)
-        else fail(s"$lang: no report row for $key (expected $want)"))
-      assert(have == want, s"$lang $label/$regime: got $have expected $want")
+        else fail(s"$lang $split $task: no report row for $key (expected $want)"))
+      assert(have == want,
+        s"$lang $split $task $label/$regime: got $have expected $want")
       checked += 1
     }
-    info(s"$lang: $checked official (label × regime) rows matched exactly")
+    info(s"$lang $split $task: $checked official (label × regime) rows matched exactly")
   }
 
   test("REAL de test set: per-type TP/FP/FN parity with the official 2024 results") {
@@ -259,6 +265,27 @@ class HipeParitySpec extends AnyFunSuite {
   test("REAL fr test set: per-type TP/FP/FN parity with the official 2024 results") {
     checkRealTestSet("fr", "/root/reference/data/results_2024/" +
       "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
+  }
+
+  test("REAL test sets, nerc_coarse task: parity with the official 2024 results") {
+    checkRealTestSet("de", "/root/reference/data/results_2024/" +
+      "model_bert_base_german_cased_max_sequence_length_128_epochs_3_run_de_5",
+      task = "nerc_coarse")
+    checkRealTestSet("fr", "/root/reference/data/results_2024/" +
+      "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2",
+      task = "nerc_coarse")
+  }
+
+  test("REAL dev sets: parity with the official 2024 results (fine + coarse)") {
+    Seq(
+      ("de", "/root/reference/data/results_2024/" +
+        "model_bert_base_german_cased_max_sequence_length_128_epochs_3_run_de_5"),
+      ("fr", "/root/reference/data/results_2024/" +
+        "model_dbmdz_bert_base_french_europeana_cased_max_sequence_length_128_epochs_3_run_fr_2")
+    ).foreach { case (lang, dir) =>
+      checkRealTestSet(lang, dir, split = "dev", task = "nerc_fine")
+      checkRealTestSet(lang, dir, split = "dev", task = "nerc_coarse")
+    }
   }
 
   // ---- NEL (entity-linking / QID) parity --------------------------------
