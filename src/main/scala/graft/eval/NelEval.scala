@@ -316,6 +316,22 @@ object NelEval {
     SpanEval.reportFromScenarios(scenarioCounts(pred, gold, tags))
   }
 
+  /** Macro-over-documents NEL scores (`accumulate_doc_scores` applied to
+    * link objects — the `*_macro_doc` keys of the scorer's NEL JSON):
+    * per-document micro P/R/F1 averaged with the HIPE dismissal rules,
+    * one row per regime. Same inputs as [[report]]. */
+  def macroDocScores(predToks: Dataset[TsvToken], goldToks: Dataset[TsvToken],
+      linkCols: Seq[TsvToken => String] = Seq(_.nelLit),
+      nerCol: Option[TsvToken => String] = None,
+      nBest: Int = 1): DataFrame = {
+    val tags = tagUniverse(predToks, goldToks, linkCols)
+    val pred = linkObjects(predToks, linkCols, nerCol, nBest, gs = false)
+    val gold = linkObjects(goldToks, linkCols, nerCol, nBest = 1, gs = true)
+      .select(col("url"), element_at(col("types"), 1).as("entity"),
+        col("l"), col("r"))
+    SpanEval.macroDocFromScenarios(scenarioCounts(pred, gold, tags))
+  }
+
   /** NEL report straight from span-level link tables — the engine-native
     * surface (the pipeline emits QID'd mention spans, not token TSVs):
     * pred `(url, types, l, r)` with ranked alternatives, gold

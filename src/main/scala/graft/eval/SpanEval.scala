@@ -280,8 +280,13 @@ object SpanEval {
     * documents, where a document enters the P mean only if it has
     * predictions (actual > 0), the R mean only if it has gold entities
     * (possible > 0), and the F1 mean only if both. One row per regime. */
-  def macroDocScores(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val sc = scenarioCounts(pred, gold)
+  def macroDocScores(pred: DataFrame, gold: DataFrame): DataFrame =
+    macroDocFromScenarios(scenarioCounts(pred, gold))
+
+  /** Doc-macro assembly over a scenario-count table — shared with the NEL
+    * surface ([[NelEval.macroDocScores]]), which differs only in how the
+    * scenarios are produced. */
+  private[eval] def macroDocFromScenarios(sc: DataFrame): DataFrame = {
     def n(s: String): Column =
       sum(when(col("scenario") === s, col("n")).otherwise(0L))
     val perDoc = sc.groupBy(col("url")).agg(

@@ -573,6 +573,75 @@ class HipeParitySpec extends AnyFunSuite {
     }
   }
 
+  /** ALL-section `*_macro_doc` floats per regime from a scorer JSON. */
+  private def expectedMacroDoc(file: String): Map[String, (Double, Double, Double)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+    val json = JsonMethods.parse(text).asInstanceOf[JObject]
+    (for {
+      (section, JObject(regimes)) <- json.obj if section == "ALL"
+      (regime, counts: JObject) <- regimes
+    } yield {
+      def grab(k: String): Double = counts \ k match {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case other => fail(s"$file ALL.$regime.$k: $other")
+      }
+      regime -> ((grab("P_macro_doc"), grab("R_macro_doc"), grab("F1_macro_doc")))
+    }).toMap
+  }
+
+  private def assertMacroDoc(got: Map[String, (Double, Double, Double)],
+      refJson: String, label: String): Unit = {
+    val exp = expectedMacroDoc(refJson)
+    exp.foreach { case (regime, (p, r, f1)) =>
+      val (gp, gr, gf) = got.getOrElse(regime, fail(s"$label: no $regime row"))
+      def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+      assert(close(gp, p) && close(gr, r) && close(gf, f1),
+        s"$label $regime: got ($gp,$gr,$gf) expected ($p,$r,$f1)")
+    }
+  }
+
+  test("macro-doc differential: NERC doc-macro floats match the reference scorer (slice fuzz pairs)") {
+    val dir = "src/test/resources/nel/slicefuzz"
+    assume(new java.io.File(dir).isDirectory)
+    (0 until 3).foreach { p =>
+      val pred = spansDf(s"$dir/sf-$p-pred.tsv", _.neCoarseLit)
+      val gold = spansDf(s"$dir/sf-$p-true.tsv", _.neCoarseLit)
+      val got = SpanEval.macroDocScores(pred, gold).collect()
+        .map(r => r.getAs[String]("regime") ->
+          ((r.getAs[Double]("p_macro_doc"), r.getAs[Double]("r_macro_doc"),
+            r.getAs[Double]("f1_macro_doc"))))
+        .toMap
+      assertMacroDoc(got, s"$dir/sf-$p-nerc_all.json", s"sf-$p nerc")
+    }
+  }
+
+  test("macro-doc differential: NEL doc-macro floats match the reference scorer (NEL fuzz pairs)") {
+    val dir = "src/test/resources/nel/fuzz"
+    assume(new java.io.File(dir).isDirectory)
+    (0 until 3).foreach { p =>
+      val pred = nelTokens(s"$dir/fuzz-$p-pred.tsv")
+      val gold = nelTokens(s"$dir/fuzz-$p-true.tsv")
+      Seq(
+        (s"fuzz-$p-original_n1.json", None, 1),
+        (s"fuzz-$p-original_n3.json", None, 3),
+        (s"fuzz-$p-ner_n1.json", Some((t: TsvToken) => t.neCoarseLit), 1)
+      ).foreach { case (json, nerCol, nBest) =>
+        val got = graft.eval.NelEval
+          .macroDocScores(pred, gold, Seq(_.nelLit), nerCol, nBest)
+          .collect()
+          .map(r => r.getAs[String]("regime") ->
+            ((r.getAs[Double]("p_macro_doc"), r.getAs[Double]("r_macro_doc"),
+              r.getAs[Double]("f1_macro_doc"))))
+          .toMap
+        assertMacroDoc(got, s"$dir/$json", s"fuzz-$p $json")
+      }
+    }
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
