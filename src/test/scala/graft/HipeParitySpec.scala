@@ -642,6 +642,56 @@ class HipeParitySpec extends AnyFunSuite {
     }
   }
 
+  test("float differential: micro and macro-over-types scores match the reference scorer") {
+    // seals the metric ARITHMETIC (reward/actual/possible, macro = mean of
+    // per-type micro — the scorer's F1_macro, not its 'recomputed' variant)
+    // on top of the integer TP/FP/FN parity the other tests lock
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def expFloats(file: String): Map[String, Map[String, Double]] = {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)), "UTF-8")
+      (for {
+        (section, JObject(regimes)) <- JsonMethods.parse(text).asInstanceOf[JObject].obj
+        if section == "ALL"
+        (regime, counts: JObject) <- regimes
+      } yield regime -> Seq("P_micro", "R_micro", "F1_micro",
+        "P_macro", "R_macro", "F1_macro").map { k =>
+        k -> (counts \ k match {
+          case JDouble(v) => v
+          case JInt(v) => v.toDouble
+          case other => fail(s"$file ALL.$regime.$k: $other")
+        })
+      }.toMap).toMap
+    }
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val nelDir = "src/test/resources/nel/fuzz"
+    val sliceDir = "src/test/resources/nel/slicefuzz"
+    assume(new java.io.File(nelDir).isDirectory &&
+      new java.io.File(sliceDir).isDirectory)
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      (0 until 3).map { p =>
+        (s"$sliceDir/sf-$p-nerc_all.json", () => SpanEval.report(
+          spansDf(s"$sliceDir/sf-$p-pred.tsv", _.neCoarseLit),
+          spansDf(s"$sliceDir/sf-$p-true.tsv", _.neCoarseLit)))
+      } ++ (0 until 3).map { p =>
+        (s"$nelDir/fuzz-$p-original_n1.json", () => graft.eval.NelEval.report(
+          nelTokens(s"$nelDir/fuzz-$p-pred.tsv"),
+          nelTokens(s"$nelDir/fuzz-$p-true.tsv")))
+      }
+    cases.foreach { case (json, mk) =>
+      val got = mk().where(col("eType") === "ALL").collect()
+        .map(r => r.getAs[String]("regime") -> r).toMap
+      expFloats(json).foreach { case (regime, metrics) =>
+        val row = got.getOrElse(regime, fail(s"$json: no ALL/$regime row"))
+        metrics.foreach { case (k, want) =>
+          val have = row.getAs[Double](k.toLowerCase)
+          assert(close(have, want), s"$json ALL/$regime/$k: got $have expected $want")
+        }
+      }
+    }
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
