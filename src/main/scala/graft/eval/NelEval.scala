@@ -55,6 +55,13 @@ object NelEval {
 
   private val NonTags = Set("_", "-", "O")
 
+  /** IOBES→IOB normalization the scorer applies at read time
+    * (`convert_iobes_to_iob`): S- opens, E- continues. */
+  private[eval] def iobNorm(l: String): String =
+    if (l.startsWith("S-")) "B-" + l.substring(2)
+    else if (l.startsWith("E-")) "I-" + l.substring(2)
+    else l
+
   /** `get_all_tags` per-label normalization (utils.py:52): primary pipe
     * alternative, last dash segment. */
   def tagOf(label: String): String = {
@@ -224,14 +231,8 @@ object NelEval {
     toks.groupByKey(_.docId)
       .flatMapGroups { (doc: String, it: Iterator[TsvToken]) =>
         val ts = it.toIndexedSeq.sortBy(_.tokIdx)
-        // the scorer IOB-normalizes NE columns at read time
-        // (convert_iobes_to_iob, utils.py) — S- opens, E- continues
-        def iob(l: String): String =
-          if (l.startsWith("S-")) "B-" + l.substring(2)
-          else if (l.startsWith("E-")) "I-" + l.substring(2)
-          else l
         val nel = ts.map(t => NelTok(t.token,
-          iob(nerCol.map(_(t)).getOrElse("O")), linkCols.map(_(t))))
+          iobNorm(nerCol.map(_(t)).getOrElse("O")), linkCols.map(_(t))))
         val objs = nerCol match {
           case Some(_) => collectLinkObjectsNer(nel, nBest, gs)
           case None => collectLinkObjectsOriginal(nel, nBest)
@@ -385,53 +386,27 @@ object NelEval {
       slices: Seq[(String, TsvToken => Boolean)] = Seq(("ALL", _ => true)))
       : DataFrame = {
     val spark = predToks.sparkSession
-    import spark.implicits._
     val tags = tagUniverse(predToks, goldToks, linkCols)
     val tagsB = spark.sparkContext.broadcast(tags)
-    val tagged = predToks.map(("P", _)).unionAll(goldToks.map(("G", _)))
-    val scan = tagged
-      .groupByKey(_._2.docId)
-      .flatMapGroups { (url: String, it: Iterator[(String, TsvToken)]) =>
+    val scan = SpanEval.pairedSliceScan(predToks, goldToks, slices,
+      (pf, gf) => {
         val tg = tagsB.value
-        val rows = it.toSeq
-        val ps = rows.filter(_._1 == "P").map(_._2).sortBy(_.tokIdx).toIndexedSeq
-        val gs = rows.filter(_._1 == "G").map(_._2).sortBy(_.tokIdx).toIndexedSeq
-        require(ps.length == gs.length,
-          s"token shape mismatch in $url: pred ${ps.length} vs gold ${gs.length}")
-        def iob(l: String): String =
-          if (l.startsWith("S-")) "B-" + l.substring(2)
-          else if (l.startsWith("E-")) "I-" + l.substring(2)
-          else l
         def nel(ts: IndexedSeq[TsvToken]): IndexedSeq[NelTok] =
           ts.map(t => NelTok(t.token,
-            iob(nerCol.map(_(t)).getOrElse("O")), linkCols.map(_(t))))
-        slices.iterator.flatMap { case (name, keep) =>
-          val kept = gs.indices.filter(i => keep(gs(i)))
-          val pf = nel(kept.map(ps))
-          val gf = nel(kept.map(gs))
-          def collect(ts: IndexedSeq[NelTok], nb: Int, gsSide: Boolean) =
-            nerCol match {
-              case Some(_) => collectLinkObjectsNer(ts, nb, gsSide)
-              case None => collectLinkObjectsOriginal(ts, nb)
-            }
-          val preds = collect(pf, nBest, gsSide = false)
-            .map(o => (o.types, o.l, o.r))
-            .filter(_._1.exists(tg.contains)).toIndexedSeq
-          val golds = collect(gf, 1, gsSide = true)
-            .map(o => (o.types.head, o.l, o.r))
-            .filter(g => tg.contains(g._1)).toIndexedSeq
-          scanDoc(preds, golds, tg)
-            .groupBy(identity).map { case ((eType, scenario), hits) =>
-              (name, url, eType, hits.size.toLong, scenario)
-            }
-        }
-      }
-      .toDF("slice", "url", "eType", "n", "scenario")
-      .localCheckpoint() // one scan pass feeds every slice's assembly
-    slices.map { case (name, _) =>
-      SpanEval.reportFromScenarios(
-        scan.where(col("slice") === name).drop("slice"))
-        .withColumn("slice", lit(name))
-    }.reduce(_ unionByName _)
+            iobNorm(nerCol.map(_(t)).getOrElse("O")), linkCols.map(_(t))))
+        def collect(ts: IndexedSeq[NelTok], nb: Int, gsSide: Boolean) =
+          nerCol match {
+            case Some(_) => collectLinkObjectsNer(ts, nb, gsSide)
+            case None => collectLinkObjectsOriginal(ts, nb)
+          }
+        val preds = collect(nel(pf), nBest, gsSide = false)
+          .map(o => (o.types, o.l, o.r))
+          .filter(_._1.exists(tg.contains)).toIndexedSeq
+        val golds = collect(nel(gf), 1, gsSide = true)
+          .map(o => (o.types.head, o.l, o.r))
+          .filter(g => tg.contains(g._1)).toIndexedSeq
+        scanDoc(preds, golds, tg)
+      })
+    SpanEval.slicedAssembly(scan, slices.map(_._1))
   }
 }

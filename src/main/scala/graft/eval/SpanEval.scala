@@ -356,7 +356,14 @@ object SpanEval {
     *  - the filter predicate always reads the GOLD token (a pred span over
     *    out-of-band gold tokens disappears with them);
     *  - tokens without a LED annotation are KEPT by every noise band
-    *    (utils.py:236).
+    *    (utils.py:236);
+    *  - the scorer's NERC tag gate applies: the tag set is GOLD-derived,
+    *    global (pre-slice), and both sides' out-of-set entities are
+    *    dropped — including dash-bearing types, which get_all_tags'
+    *    last-dash-segment quirk silently excludes (see the gate comment
+    *    in the body). The unsliced [[report]] deliberately has NO gate
+    *    (the engine scores every type it produces); use this method when
+    *    scorer-exact output is required.
     *
     * Both token streams are paired per document BY POSITION (the scorer
     * asserts equal shapes, ner_eval.py:111-129; this fails loudly on
@@ -372,10 +379,49 @@ object SpanEval {
       goldToks: org.apache.spark.sql.Dataset[graft.core.TsvToken],
       column: graft.core.TsvToken => String,
       slices: Seq[(String, graft.core.TsvToken => Boolean)]): DataFrame = {
+    // NERC tag gate (`set_evaluation_tags` nerc branch, ner_eval.py:658-661
+    // + compute_metrics:430-435): tags come from the GOLD file only —
+    // computed ONCE, globally, BEFORE any slice filtering — and both
+    // sides' entities are dropped when their type is not in the set. The
+    // set inherits get_all_tags' dash quirk (utils.py:52): the tag is the
+    // label's last dash segment, so a type with an internal dash
+    // (UP-UPI → "UPI") never equals its own e_type and is silently
+    // excluded from the evaluation — gold and pred alike.
     val spark = predToks.sparkSession
     import spark.implicits._
-    val tagged = predToks.map(("P", _)).unionAll(goldToks.map(("G", _)))
-    val scan = tagged
+    val tags = goldToks
+      .map(t => column(t).split("\\|")(0).split("-").last)
+      .distinct().collect().toSet -- Set("_", "-", "O", "")
+    val tagsB = spark.sparkContext.broadcast(tags)
+    val scan = pairedSliceScan(predToks, goldToks, slices,
+      (pf, gf) => {
+        val tg = tagsB.value
+        def spans(ts: Seq[graft.core.TsvToken]) =
+          graft.sources.ConllTsvReader.goldSpansBy(ts, column)
+            .map(s => (s.eType, s.start, s.end + 1))
+            .filter(s => tg.contains(s._1))
+        scanDocNerc(spans(pf), spans(gf).toIndexedSeq)
+      })
+    slicedAssembly(scan, slices.map(_._1))
+  }
+
+  /** Shared scaffolding of the token-level sliced evaluations: pair both
+    * token streams per document by position, fail LOUDLY on shape
+    * mismatches AND on duplicated document ids (the committed corpora
+    * contain duplicate `document_id`s — the scorer zips copies by file
+    * position; callers must disambiguate ids, e.g. suffix the occurrence
+    * index, before using this API, or the copies would interleave
+    * silently), then run `collect` — (filteredPred, filteredGold) →
+    * (eType, scenario) hits — once per slice in ONE scan pass. */
+  private[eval] def pairedSliceScan(
+      predToks: org.apache.spark.sql.Dataset[graft.core.TsvToken],
+      goldToks: org.apache.spark.sql.Dataset[graft.core.TsvToken],
+      slices: Seq[(String, graft.core.TsvToken => Boolean)],
+      collect: (IndexedSeq[graft.core.TsvToken], IndexedSeq[graft.core.TsvToken]) =>
+        Seq[(String, String)]): DataFrame = {
+    val spark = predToks.sparkSession
+    import spark.implicits._
+    predToks.map(("P", _)).unionAll(goldToks.map(("G", _)))
       .groupByKey(_._2.docId)
       .flatMapGroups { (url: String, it: Iterator[(String, graft.core.TsvToken)]) =>
         val rows = it.toSeq
@@ -383,14 +429,13 @@ object SpanEval {
         val gs = rows.filter(_._1 == "G").map(_._2).sortBy(_.tokIdx).toIndexedSeq
         require(ps.length == gs.length,
           s"token shape mismatch in $url: pred ${ps.length} vs gold ${gs.length}")
+        require(gs.map(_.tokIdx).distinct.length == gs.length,
+          s"duplicated tokIdx in document '$url' — the corpus repeats this " +
+            "document_id; key documents by occurrence (e.g. suffix '#i') " +
+            "before the sliced evaluation")
         slices.iterator.flatMap { case (name, keep) =>
           val kept = gs.indices.filter(i => keep(gs(i)))
-          val pf = kept.map(ps)
-          val gf = kept.map(gs)
-          def spans(ts: Seq[graft.core.TsvToken]) =
-            graft.sources.ConllTsvReader.goldSpansBy(ts, column)
-              .map(s => (s.eType, s.start, s.end + 1))
-          scanDocNerc(spans(pf), spans(gf).toIndexedSeq)
+          collect(kept.map(ps), kept.map(gs))
             .groupBy(identity).map { case ((eType, scenario), hits) =>
               (name, url, eType, hits.size.toLong, scenario)
             }
@@ -398,8 +443,23 @@ object SpanEval {
       }
       .toDF("slice", "url", "eType", "n", "scenario")
       .localCheckpoint() // one scan pass feeds every slice's assembly
-    slices.map { case (name, _) =>
-      reportFromScenarios(scan.where(col("slice") === name).drop("slice"))
+  }
+
+  /** Per-slice report assembly over a `(slice, url, eType, n, scenario)`
+    * scan. A slice with no scenario rows still yields its zeroed ALL
+    * section (the scorer's prebuilt metric_schema always reports ALL),
+    * via a sentinel type filtered back out. */
+  private[eval] def slicedAssembly(scan: DataFrame, names: Seq[String]): DataFrame = {
+    val spark = scan.sparkSession
+    import spark.implicits._
+    names.map { name =>
+      val rows = scan.where(col("slice") === name).drop("slice")
+      val nonEmpty =
+        if (rows.isEmpty)
+          Seq(("", "__none__", 0L, "I")).toDF("url", "eType", "n", "scenario")
+        else rows
+      reportFromScenarios(nonEmpty)
+        .where(col("eType") =!= "__none__")
         .withColumn("slice", lit(name))
     }.reduce(_ unionByName _)
   }

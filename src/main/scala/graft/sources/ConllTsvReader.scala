@@ -59,7 +59,11 @@ object ConllTsvReader {
           tokIdx = 0
           lastWasBoundary = true
         } else if (key == "date" || key.endsWith(":date")) {
-          date = dateRe.findFirstIn(kv(1)).getOrElse("2022-01-01")
+          // regex over whatever follows (the reference searches the whole
+          // comment line, utils.py:152-158); a '# date' row without '='
+          // or without a parseable date falls back like the reference
+          date = dateRe.findFirstIn(if (kv.length == 2) kv(1) else "")
+            .getOrElse("2022-01-01")
         }
       } else if (line.trim.isEmpty) {
         if (!lastWasBoundary) { segId += 1; lastWasBoundary = true }

@@ -530,6 +530,15 @@ class HipeParitySpec extends AnyFunSuite {
             s"sf-$p $mode $slice $section/$regime: got $have expected $want")
         }
       }
+      // no EXTRA types either: every per-type row the engine emits must
+      // be a section of the reference output (catches a missing tag gate
+      // — e.g. scoring a pred-only or dash-bearing type the scorer drops)
+      val sections = exp.keys.map(_._1.toUpperCase).toSet
+      got.keys.filter(k => k._1 == slice && k._2 != "ALL").foreach { k =>
+        assert(sections.contains(k._2),
+          s"sf-$p $mode $slice: engine emitted type '${k._2}' absent from " +
+            "the reference report")
+      }
     }
   }
 
@@ -604,12 +613,28 @@ class HipeParitySpec extends AnyFunSuite {
     }
   }
 
+  /** The scorer's gold-derived NERC tag gate, applied externally to span
+    * tables (same idiom as checkRealTestSet — the engine's span-surface
+    * report deliberately scores every type; the gate exists to compare
+    * with scorer output). */
+  private def gateSpans(df: org.apache.spark.sql.DataFrame, goldFile: String) = {
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(goldFile)), "UTF-8")
+    val refTags = ConllTsvReader.parse(content)
+      .map(_.neCoarseLit.split("\\|")(0).split("-").last)
+      .filterNot(Set("_", "-", "O")).toSet
+    val inTags = udf((e: String) => refTags.contains(e))
+    df.where(inTags(col("entity")))
+  }
+
   test("macro-doc differential: NERC doc-macro floats match the reference scorer (slice fuzz pairs)") {
     val dir = "src/test/resources/nel/slicefuzz"
     assume(new java.io.File(dir).isDirectory)
     (0 until 3).foreach { p =>
-      val pred = spansDf(s"$dir/sf-$p-pred.tsv", _.neCoarseLit)
-      val gold = spansDf(s"$dir/sf-$p-true.tsv", _.neCoarseLit)
+      val pred = gateSpans(spansDf(s"$dir/sf-$p-pred.tsv", _.neCoarseLit),
+        s"$dir/sf-$p-true.tsv")
+      val gold = gateSpans(spansDf(s"$dir/sf-$p-true.tsv", _.neCoarseLit),
+        s"$dir/sf-$p-true.tsv")
       val got = SpanEval.macroDocScores(pred, gold).collect()
         .map(r => r.getAs[String]("regime") ->
           ((r.getAs[Double]("p_macro_doc"), r.getAs[Double]("r_macro_doc"),
@@ -672,8 +697,10 @@ class HipeParitySpec extends AnyFunSuite {
     val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
       (0 until 3).map { p =>
         (s"$sliceDir/sf-$p-nerc_all.json", () => SpanEval.report(
-          spansDf(s"$sliceDir/sf-$p-pred.tsv", _.neCoarseLit),
-          spansDf(s"$sliceDir/sf-$p-true.tsv", _.neCoarseLit)))
+          gateSpans(spansDf(s"$sliceDir/sf-$p-pred.tsv", _.neCoarseLit),
+            s"$sliceDir/sf-$p-true.tsv"),
+          gateSpans(spansDf(s"$sliceDir/sf-$p-true.tsv", _.neCoarseLit),
+            s"$sliceDir/sf-$p-true.tsv")))
       } ++ (0 until 3).map { p =>
         (s"$nelDir/fuzz-$p-original_n1.json", () => graft.eval.NelEval.report(
           nelTokens(s"$nelDir/fuzz-$p-pred.tsv"),

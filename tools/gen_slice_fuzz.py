@@ -58,7 +58,10 @@ def gen_doc(rng, doc_i):
     while i < n - 4:
         if rng.random() < 0.4:
             ln = rng.randint(1, 3)
-            t = rng.choice(TYPES)
+            # "up-upi" exercises get_all_tags' last-dash-segment quirk:
+            # its tag is "upi" != its e_type, so the scorer silently drops
+            # these entities from BOTH sides — the engine's gate must too
+            t = rng.choice(TYPES + (["up-upi"] if rng.random() < 0.25 else []))
             q = rng.choice(QIDS)
             # LED shapes: none / uniform / mixed-within-entity / band edge
             led_mode = rng.random()
@@ -100,8 +103,9 @@ def gen_doc(rng, doc_i):
             # else: miss (III)
             i += ln + rng.randint(1, 3)
         else:
-            if rng.random() < 0.06:  # spurious singleton pred
-                p_ner[i] = "B-" + rng.choice(TYPES)
+            if rng.random() < 0.06:  # spurious singleton pred; "time" never
+                # occurs in gold, so the NERC tag gate must drop it
+                p_ner[i] = "B-" + rng.choice(TYPES + ["time"])
                 p_nel[i] = rng.choice(QIDS)
             if rng.random() < 0.05:  # singleton gold link on O token
                 g_nel[i] = rng.choice(QIDS)
