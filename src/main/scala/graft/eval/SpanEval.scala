@@ -317,10 +317,16 @@ object SpanEval {
               .otherwise(0.0)))
         .agg(avg(col("p")).as("p_macro_doc"),
           avg(col("r")).as("r_macro_doc"),
-          avg(col("f1")).as("f1_macro_doc"))
+          avg(col("f1")).as("f1_macro_doc"),
+          // np.std = POPULATION std (compute_macro_doc_scores,
+          // ner_eval.py:868) — stddev_pop, not the sample stddev
+          stddev_pop(col("p")).as("p_macro_doc_std"),
+          stddev_pop(col("r")).as("r_macro_doc_std"),
+          stddev_pop(col("f1")).as("f1_macro_doc_std"))
         .withColumn("regime", lit(regime))
         .select(col("regime"), col("p_macro_doc"), col("r_macro_doc"),
-          col("f1_macro_doc"))
+          col("f1_macro_doc"), col("p_macro_doc_std"),
+          col("r_macro_doc_std"), col("f1_macro_doc_std"))
     }.reduce(_ unionByName _)
   }
 

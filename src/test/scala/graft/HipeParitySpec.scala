@@ -582,8 +582,8 @@ class HipeParitySpec extends AnyFunSuite {
     }
   }
 
-  /** ALL-section `*_macro_doc` floats per regime from a scorer JSON. */
-  private def expectedMacroDoc(file: String): Map[String, (Double, Double, Double)] = {
+  /** ALL-section `*_macro_doc` (+_std) floats per regime from a scorer JSON. */
+  private def expectedMacroDoc(file: String): Map[String, Seq[Double]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val text = new String(
@@ -598,18 +598,21 @@ class HipeParitySpec extends AnyFunSuite {
         case JInt(v) => v.toDouble
         case other => fail(s"$file ALL.$regime.$k: $other")
       }
-      regime -> ((grab("P_macro_doc"), grab("R_macro_doc"), grab("F1_macro_doc")))
+      regime -> Seq("P_macro_doc", "R_macro_doc", "F1_macro_doc",
+        "P_macro_doc_std", "R_macro_doc_std", "F1_macro_doc_std")
+        .map(grab)
     }).toMap
   }
 
-  private def assertMacroDoc(got: Map[String, (Double, Double, Double)],
+  private def assertMacroDoc(got: Map[String, Seq[Double]],
       refJson: String, label: String): Unit = {
     val exp = expectedMacroDoc(refJson)
-    exp.foreach { case (regime, (p, r, f1)) =>
-      val (gp, gr, gf) = got.getOrElse(regime, fail(s"$label: no $regime row"))
-      def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
-      assert(close(gp, p) && close(gr, r) && close(gf, f1),
-        s"$label $regime: got ($gp,$gr,$gf) expected ($p,$r,$f1)")
+    exp.foreach { case (regime, want) =>
+      val have = got.getOrElse(regime, fail(s"$label: no $regime row"))
+      have.zip(want).zipWithIndex.foreach { case ((h, w), i) =>
+        assert(math.abs(h - w) < 1e-9,
+          s"$label $regime metric #$i: got $h expected $w")
+      }
     }
   }
 
@@ -637,8 +640,9 @@ class HipeParitySpec extends AnyFunSuite {
         s"$dir/sf-$p-true.tsv")
       val got = SpanEval.macroDocScores(pred, gold).collect()
         .map(r => r.getAs[String]("regime") ->
-          ((r.getAs[Double]("p_macro_doc"), r.getAs[Double]("r_macro_doc"),
-            r.getAs[Double]("f1_macro_doc"))))
+          Seq("p_macro_doc", "r_macro_doc", "f1_macro_doc",
+            "p_macro_doc_std", "r_macro_doc_std", "f1_macro_doc_std")
+            .map(r.getAs[Double](_)))
         .toMap
       assertMacroDoc(got, s"$dir/sf-$p-nerc_all.json", s"sf-$p nerc")
     }
@@ -659,8 +663,9 @@ class HipeParitySpec extends AnyFunSuite {
           .macroDocScores(pred, gold, Seq(_.nelLit), nerCol, nBest)
           .collect()
           .map(r => r.getAs[String]("regime") ->
-            ((r.getAs[Double]("p_macro_doc"), r.getAs[Double]("r_macro_doc"),
-              r.getAs[Double]("f1_macro_doc"))))
+            Seq("p_macro_doc", "r_macro_doc", "f1_macro_doc",
+              "p_macro_doc_std", "r_macro_doc_std", "f1_macro_doc_std")
+              .map(r.getAs[Double](_)))
           .toMap
         assertMacroDoc(got, s"$dir/$json", s"fuzz-$p $json")
       }
