@@ -363,11 +363,11 @@ object NelEval {
     val primaries = pred.select(element_at(col("types"), 1).as("t"))
       .unionAll(gold.select(col("entity").as("t")))
       .distinct().collect().map(_.getString(0)).toSet -- NonTags
-    slices.map { case (name, predicate) =>
-      SpanEval.reportFromScenarios(
-        scenarioCounts(pred.where(predicate), gold.where(predicate), primaries))
+    val scan = slices.map { case (name, predicate) =>
+      scenarioCounts(pred.where(predicate), gold.where(predicate), primaries)
         .withColumn("slice", lit(name))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint()
+    SpanEval.slicedAssembly(scan, slices.map(_._1))
   }
 
   /** Token-level sliced NEL report — the exact `--noise_level` /

@@ -337,16 +337,18 @@ object SpanEval {
     * with a leading `slice` column; `("ALL", lit(true))` reproduces the
     * unsliced TIME-ALL/LED-ALL report. */
   def reportSliced(pred: DataFrame, gold: DataFrame,
-      slices: Seq[(String, Column)]): DataFrame =
-    slices.map { case (name, predicate) =>
-      report(pred.where(predicate), gold.where(predicate))
+      slices: Seq[(String, Column)]): DataFrame = {
+    val scan = slices.map { case (name, predicate) =>
+      scenarioCounts(pred.where(predicate), gold.where(predicate))
         .withColumn("slice", lit(name))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint()
+    slicedAssembly(scan, slices.map(_._1))
       .select(col("slice") +: Seq(col("eType"), col("regime"), col("correct"),
         col("incorrect"), col("partial"), col("missed"), col("spurious"),
         col("possible"), col("actual"), col("tp"), col("fp"), col("fn"),
         col("p_micro"), col("r_micro"), col("f1_micro"), col("p_macro"),
         col("r_macro"), col("f1_macro")): _*)
+  }
 
   // ---- token-level sliced evaluation (scorer-faithful) -----------------
 
@@ -458,13 +460,15 @@ object SpanEval {
   private[eval] def slicedAssembly(scan: DataFrame, names: Seq[String]): DataFrame = {
     val spark = scan.sparkSession
     import spark.implicits._
+    // one pass over the (checkpointed, tiny) scan finds the empty slices,
+    // instead of an isEmpty job per slice
+    val present = scan.select(col("slice")).distinct()
+      .collect().map(_.getString(0)).toSet
     names.map { name =>
-      val rows = scan.where(col("slice") === name).drop("slice")
-      val nonEmpty =
-        if (rows.isEmpty)
-          Seq(("", "__none__", 0L, "I")).toDF("url", "eType", "n", "scenario")
-        else rows
-      reportFromScenarios(nonEmpty)
+      val rows =
+        if (present(name)) scan.where(col("slice") === name).drop("slice")
+        else Seq(("", "__none__", 0L, "I")).toDF("url", "eType", "n", "scenario")
+      reportFromScenarios(rows)
         .where(col("eType") =!= "__none__")
         .withColumn("slice", lit(name))
     }.reduce(_ unionByName _)

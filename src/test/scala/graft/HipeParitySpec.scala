@@ -482,7 +482,7 @@ class HipeParitySpec extends AnyFunSuite {
       ("A", "Q1", 0, 2, 1900), ("B", "Q7", 0, 2, 1950))
       .toDF("url", "entity", "l", "r", "year")
     val slices = graft.eval.SpanEval.timeSlices(col("year"),
-      Seq((1880, 1920), (1930, 1960)))
+      Seq((1880, 1920), (1930, 1960), (1700, 1799)))
     val rep = graft.eval.NelEval.reportSliced(pred, gold, slices)
       .where(col("eType") === "ALL" && col("regime") === "strict")
       .collect()
@@ -492,6 +492,9 @@ class HipeParitySpec extends AnyFunSuite {
     assert(rep("TIME-ALL") == ((1L, 1L, 1L)))
     assert(rep("TIME-1880-1920") == ((1L, 0L, 0L)))
     assert(rep("TIME-1930-1960") == ((0L, 1L, 1L)))
+    // an empty slice still reports its zeroed ALL section (the scorer's
+    // prebuilt metric schema always emits ALL)
+    assert(rep("TIME-1700-1799") == ((0L, 0L, 0L)))
   }
 
   // ---- TIME/LED sliced evaluation: differential fuzz --------------------
