@@ -727,6 +727,48 @@ class HipeParitySpec extends AnyFunSuite {
     }
   }
 
+  test("token-sliced ALL slice ≡ gated span-table report (surface consistency law)") {
+    // the two NERC surfaces must agree when no slicing happens: the
+    // token path's TIME-ALL equals SpanEval.report over collected spans
+    // with the external gold-tag gate — locks them against silent drift
+    val dir = "src/test/resources/nel/slicefuzz"
+    assume(new java.io.File(dir).isDirectory)
+    (0 until 3).foreach { p =>
+      val predT = nelTokens(s"$dir/sf-$p-pred.tsv")
+      val goldT = nelTokens(s"$dir/sf-$p-true.tsv")
+      val sliced = SpanEval.reportSlicedTokens(predT, goldT, _.neCoarseLit,
+        Seq(("ALL", _ => true)))
+        .where(col("slice") === "ALL")
+        .select("eType", "regime", "tp", "fp", "fn")
+      val spanRep = SpanEval.report(
+        gateSpans(spansDf(s"$dir/sf-$p-pred.tsv", _.neCoarseLit), s"$dir/sf-$p-true.tsv"),
+        gateSpans(spansDf(s"$dir/sf-$p-true.tsv", _.neCoarseLit), s"$dir/sf-$p-true.tsv"))
+        .select("eType", "regime", "tp", "fp", "fn")
+      assert(sliced.exceptAll(spanRep).count() == 0 &&
+        spanRep.exceptAll(sliced).count() == 0,
+        s"sf-$p: token-sliced ALL diverges from the gated span report")
+    }
+  }
+
+  test("duplicated document_ids fail loudly in the token-paired sliced scan") {
+    import spark.implicits._
+    // two copies of the same document_id: tokIdx restarts per copy, so
+    // the paired scan must refuse rather than interleave silently
+    val copy = ConllTsvReader.parse(
+      "# document_id = dup1\n# date = 1900-01-01\n" +
+        "w1\tB-org\tO\tB-org\tO\tO\tO\tQ1\t_\t_\t_\t_\t_\n")
+    val doubled = spark.createDataset(copy ++ copy)
+    val e = intercept[org.apache.spark.SparkException] {
+      SpanEval.reportSlicedTokens(doubled, doubled, _.neCoarseLit,
+        Seq(("ALL", _ => true))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicated tokIdx")),
+      s"unexpected failure: ${messages(e).mkString(" | ")}")
+  }
+
   test("macro-doc scores: per-document micro averaged with HIPE dismissal rules") {
     import spark.implicits._
     // doc A: 1 gold, 1 pred, exact match; doc B: 1 gold, 0 preds (enters R
