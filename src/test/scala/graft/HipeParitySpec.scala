@@ -570,11 +570,12 @@ class HipeParitySpec extends AnyFunSuite {
       val pred = nelTokens(s"$dir/sf-$p-pred.tsv")
       val gold = nelTokens(s"$dir/sf-$p-true.tsv")
       Seq(
-        ("nel_orig", None),
-        ("nel_ner", Some((t: TsvToken) => t.neCoarseLit))
-      ).foreach { case (mode, nerCol) =>
+        ("nel_orig", None, 1),
+        ("nel_ner", Some((t: TsvToken) => t.neCoarseLit), 1),
+        ("nel_n3", None, 3) // ranked |-alternatives × slicing interaction
+      ).foreach { case (mode, nerCol, nBest) =>
         val got = graft.eval.NelEval.reportSlicedFromTokens(
-          pred, gold, Seq(_.nelLit), nerCol, 1, slices)
+          pred, gold, Seq(_.nelLit), nerCol, nBest, slices)
           .collect()
           .map(r => (r.getAs[String]("slice"), r.getAs[String]("eType").toUpperCase,
             r.getAs[String]("regime")) ->

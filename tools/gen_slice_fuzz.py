@@ -85,12 +85,15 @@ def gen_doc(rng, doc_i):
                 for j in range(ln):
                     p_ner[i + j] = g_ner[i + j]
                     p_nel[i + j] = q
-            elif r < 0.55:  # wrong type and/or link, same span
+            elif r < 0.55:  # wrong type and/or link, same span; half the
+                # time the right link hides in a ranked |-alternative, so
+                # n_best=1 and n_best=3 sliced expectations diverge
                 t2 = rng.choice([x for x in TYPES if x != t])
                 q2 = rng.choice([x for x in QIDS if x != q])
+                cell = q2 if rng.random() < 0.5 else f"{q2}|{q}"
                 for j in range(ln):
                     p_ner[i + j] = ("B-" if j == 0 else "I-") + t2
-                    p_nel[i + j] = q2
+                    p_nel[i + j] = cell
             elif r < 0.7 and ln > 1:  # boundary shift
                 for j in range(1, ln):
                     p_ner[i + j] = ("B-" if j == 1 else "I-") + t
@@ -162,6 +165,8 @@ def main():
                 (f"nel_ner_{sname}",
                  ["NEL-LIT", "nel", "--merge-lines",
                   "--ner-col", "NE-COARSE-LIT"]),
+                (f"nel_n3_{sname}",
+                 ["NEL-LIT", "nel", "--merge-lines", "--nbest", "3"]),
             ):
                 out = subprocess.run(
                     [sys.executable, "tools/run_hipe_scorer.py",
