@@ -524,8 +524,51 @@ object SparkEntry {
       val slices = graft.eval.SpanEval.timeSlices(col("year"),
         Seq((1840, 1919), (1920, 2000)))
       graft.eval.NelEval.reportSliced(pred, gold, slices)
+    }),
+
+    // near-dup CLUSTERS — dedup as a corpus transform, not a pair report:
+    // q21's verified pairs → connected components → keep-min
+    // representative. Same planted input and exhaustive-equivalent LSH
+    // parameters as q21 (16 bands × 2 rows: per-pair miss ≤ 8e-8 at
+    // s=0.8), so the DuckDB oracle can recompute the exact pair set and
+    // close it with a recursive CTE (the kg05 pattern).
+    "kg15_neardup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qqzz")).as("text"))
+      Dedup.nearDupGroups(docs.unionByName(mutated), k = 32, bands = 16,
+        shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
+    }),
+    // benchmark decontamination as a corpus transform: drop documents
+    // sharing ≥5 distinct 3-gram shingles with the planted "benchmark"
+    // (40-token excerpts of every 50th document), then count survivors
+    // per language. The report form is oracle-checked by q31.
+    "kg16_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.ops.Decontaminate.decontaminate(docs, benchExcerpts(s, dir),
+        shingleN = 3, minOverlap = 5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }),
+    // contamination report (doc × benchmark-row overlap counts) — the
+    // fuzzy generalization of the J4 sample-exclusion anti-join
+    "q31_contamination_report" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Decontaminate.contaminationReport(docs, benchExcerpts(s, dir),
+        shingleN = 3, minOverlap = 5)
     })
   )
+
+  /** Planted "benchmark" table for the decontamination queries: 40-token
+    * excerpts of every 50th document — deterministic, guaranteed overlap
+    * (each source document is contaminated by its own excerpt, as are its
+    * exact/near duplicates). */
+  private def benchExcerpts(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
 
   /** DuckDB-runnable ANSI oracles, column-name and value aligned with the
     * Spark results above. kg* queries are intentionally absent (rows-only
@@ -951,6 +994,85 @@ object SparkEntry {
          FROM years y
          LEFT JOIN nag USING (year) LEFT JOIN nnp USING (year)
          LEFT JOIN nedg USING (year) LEFT JOIN ecomp USING (year)
-         LEFT JOIN ncon USING (year)"""
+         LEFT JOIN ncon USING (year)""",
+    // near-dup clusters: q21's exhaustive pair set closed transitively
+    // (recursive CTE, set-semantics UNION) → per-doc representative
+    // (= min doc_id of the component) and cluster size
+    "kg15_neardup_clusters" ->
+      """WITH RECURSIVE
+         d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' qqzz' FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(string_split(text,' ')) - 2),
+               i -> string_split(text,' ')[CAST(i+1 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+2 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+3 AS INT)])) AS sh
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b
+             ON a.doc_id < b.doc_id
+            AND len(a.sh) * 5 >= len(b.sh) * 4 AND len(b.sh) * 5 >= len(a.sh) * 4
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM p
+                   UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+         sizes AS (SELECT component, COUNT(*) AS n_members
+                   FROM comp GROUP BY component)
+         SELECT c.node AS doc_id, c.component AS cluster_rep, z.n_members
+         FROM comp c JOIN sizes z USING (component)""",
+    "q31_contamination_report" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM tok),
+         bt AS (SELECT doc_id AS bench_id, t[1:40] AS t
+                FROM tok WHERE doc_id % 50 = 0),
+         bsh AS (
+           SELECT bench_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM bt)
+         SELECT s.doc_id, b.bench_id,
+           CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_overlap
+         FROM sh s JOIN bsh b ON len(list_intersect(s.sh, b.sh)) >= 5""",
+    "kg16_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM tok),
+         bt AS (SELECT doc_id AS bench_id, t[1:40] AS t
+                FROM tok WHERE doc_id % 50 = 0),
+         bsh AS (
+           SELECT bench_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM bt),
+         flagged AS (
+           SELECT DISTINCT s.doc_id FROM sh s
+           JOIN bsh b ON len(list_intersect(s.sh, b.sh)) >= 5)
+         SELECT d.lang, COUNT(*) AS n_docs FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         GROUP BY d.lang"""
   )
 }

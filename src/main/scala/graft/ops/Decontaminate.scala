@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the fuzzy generalization of the
+  * sample-exclusion anti-join (reference `sampling.ipynb` cell 46, which
+  * excludes already-sampled ids exactly): a corpus document sharing at
+  * least `minOverlap` distinct word n-grams with any document of a small
+  * held-out "benchmark" table is flagged (report) or dropped (transform).
+  *
+  * Scale shape: the benchmark side is SMALL by definition (eval sets are
+  * thousands of rows, the corpus is 10^12), so its exploded distinct
+  * shingles are broadcast — the probe join is map-side, the corpus is
+  * never shuffled. The only shuffle is the per-(doc, bench) overlap count
+  * over MATCHED shingle rows, which partially aggregates map-side and is
+  * proportional to actual contamination, not corpus size. The final drop
+  * is a left-anti join against the flagged id set (again small —
+  * broadcastable).
+  */
+object Decontaminate {
+
+  /** Distinct word shingles per row, staged through an alias so the split
+    * runs once per row (see [[Dedup.shinglesFromToks]]). */
+  private def withShingles(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), split(col("text"), " ").as("_toks"))
+      .select(col(idCol),
+        array_distinct(Dedup.shinglesFromToks(col("_toks"), n)).as("sh"))
+
+  /** Contamination report: `(doc_id, bench_id, n_overlap)` for every
+    * corpus×benchmark pair sharing ≥ `minOverlap` distinct `shingleN`-gram
+    * shingles. `bench` must have columns `(bench_id, text)`. */
+  def contaminationReport(
+      docs: DataFrame,
+      bench: DataFrame,
+      shingleN: Int = 3,
+      minOverlap: Int = 5
+  ): DataFrame = {
+    val dsh = withShingles(docs, "doc_id", shingleN)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bsh = withShingles(bench, "bench_id", shingleN)
+      .select(col("bench_id"), explode(col("sh")).as("shingle"))
+    // shingles are distinct per doc AND per bench row, so each matched
+    // (doc_id, bench_id, shingle) row is unique — count(*) IS the overlap
+    dsh.join(broadcast(bsh), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
+  /** Flagged corpus ids: documents contaminated by ANY benchmark row. */
+  def contaminatedIds(
+      docs: DataFrame,
+      bench: DataFrame,
+      shingleN: Int = 3,
+      minOverlap: Int = 5
+  ): DataFrame =
+    contaminationReport(docs, bench, shingleN, minOverlap)
+      .select(col("doc_id")).distinct()
+
+  /** Decontaminate as a corpus TRANSFORM: the input rows minus every
+    * document flagged against the benchmark. */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      shingleN: Int = 3,
+      minOverlap: Int = 5
+  ): DataFrame =
+    docs.join(contaminatedIds(docs, bench, shingleN, minOverlap),
+      Seq("doc_id"), "left_anti")
+}

@@ -212,6 +212,69 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  // ---- near-dup clusters (pairs → components → representative) --------
+
+  /** Cluster membership from verified near-dup pairs: connected components
+    * over the pair graph, one row per clustered document with its
+    * representative (min doc_id in the component) and the cluster size.
+    * Documents in no pair are singletons and do not appear.
+    *
+    * Scale shape: [[graft.canon.ConnectedComponents.run]] is id-only
+    * min-label propagation (the component label IS the min doc_id, so no
+    * extra "pick representative" pass is needed); the size aggregation and
+    * the membership join exchange only (id, component, count) rows — the
+    * document payload never enters a shuffle.
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val cc = graft.canon.ConnectedComponents.run(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, Seq("component"))
+      .select(col("node").as("doc_id"),
+        col("component").as("cluster_rep"),
+        col("n_members"))
+  }
+
+  /** Near-duplicate CLUSTERS of a corpus — the full dedup composition a
+    * training-data pipeline runs: MinHash+LSH candidates → exact n-gram
+    * Jaccard verification → connected components → keep-min
+    * representative. Output `(doc_id, cluster_rep, n_members)`, one row
+    * per document that belongs to a near-dup cluster (singletons omitted).
+    */
+  def nearDupGroups(
+      docs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
+    val pairs = jaccardVerify(docs,
+      lshCandidatePairs(docs, k, bands, shingleN, maxBucket),
+      shingleN, minJaccard)
+    clustersFromPairs(pairs)
+  }
+
+  /** Near-dup dedup as a corpus TRANSFORM: drop every clustered document
+    * except its representative (min doc_id per component); singletons pass
+    * through. The anti-join's right side is `(doc_id)` only — id-scale,
+    * broadcastable when the duplicate fraction is small.
+    */
+  def nearDupDedup(
+      docs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
+    val drop = nearDupGroups(docs, k, bands, shingleN, maxBucket, minJaccard)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -57,6 +57,51 @@ class OpsSpec extends AnyFunSuite {
     assert(ids == (1L to cap.toLong).toSet)
   }
 
+  test("near-dup clusters: transitive closure beyond direct pairs, keep-min rep") {
+    // chain a~b (j=28/33≈0.85) and b~c (j=33/38≈0.87) above 0.8, but
+    // a~c (j=28/38≈0.74) BELOW — the cluster {a,b,c} exists only through
+    // the connected-components closure, not the pair report
+    val baseToks = (1 to 30).map(i => s"w$i")
+    val a = baseToks.mkString(" ")
+    val b = (baseToks ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val c = (baseToks ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val lone = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = docs((10L, a), (11L, b), (12L, c), (13L, lone))
+    // direct-pair sanity: (a,c) is NOT a verified pair
+    val pairs = Dedup.jaccardVerify(d,
+      Dedup.lshCandidatePairs(d, k = 32, bands = 16, shingleN = 3),
+      shingleN = 3, minJaccard = 0.8)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(Set(10L, 11L), Set(11L, 12L)))
+    val clusters = Dedup.nearDupGroups(d, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.toSet ==
+      Set((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L)))
+    val kept = Dedup.nearDupDedup(d, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 13L)) // rep of the cluster + the singleton
+  }
+
+  test("decontamination: planted benchmark overlap flags and drops, threshold holds") {
+    import spark.implicits._
+    val benchToks = (1 to 10).map(i => s"b$i")
+    val bench = Seq((100L, benchToks.mkString(" ")))
+      .toDF("bench_id", "text")
+    val contaminated = ("x1 x2 " + benchToks.mkString(" ") + " y1 y2")
+    val partial = ("p1 p2 " + benchToks.take(6).mkString(" ") + " p3 p4")
+    val clean = (1 to 14).map(i => s"c$i").mkString(" ")
+    val d = docs((1L, contaminated), (2L, partial), (3L, clean))
+    val report = graft.ops.Decontaminate
+      .contaminationReport(d, bench, shingleN = 3, minOverlap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares all 8 bench shingles; doc 2 only 4 (< 5); doc 3 none
+    assert(report.toSeq == Seq((1L, 100L, 8L)))
+    val kept = graft.ops.Decontaminate
+      .decontaminate(d, bench, shingleN = 3, minOverlap = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("simhash: identical texts share signature, near-identical are close") {
     val a = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
     val b = Dedup.simhash64Scala("the quick brown fox jumps over the lazy dog again")
