@@ -254,7 +254,30 @@ object NelEval {
     val goldCol = linkCols.head
     val t = goldToks.map(t => tagOf(goldCol(t)))
     val p = predToks.flatMap(tok => linkCols.map(c => tagOf(c(tok))))
-    t.union(p).distinct().collect().toSet -- NonTags
+    boundedTagCollect(t.union(p).toDF("t"))
+  }
+
+  /** Hard ceiling on the driver-collected tag universe. The scorer's
+    * scenario-II attribution iterates the FULL universe per spurious
+    * prediction, so the universe must stay gazetteer-scale by design; an
+    * open-domain QID table (10^7-10^8 distinct links) would OOM the driver
+    * here and explode scenario-II combinatorially downstream. */
+  val MaxTagUniverse: Int = 100000
+
+  /** Collect a one-string-column DataFrame of candidate tags, failing
+    * LOUDLY (before pulling the data) if the distinct cardinality exceeds
+    * [[MaxTagUniverse]] — `limit(max+1)` bounds what ever reaches the
+    * driver, so the failure itself is cheap. */
+  private def boundedTagCollect(tags: DataFrame): Set[String] = {
+    val rows = tags.distinct().limit(MaxTagUniverse + 1).collect()
+    require(rows.length <= MaxTagUniverse,
+      s"NEL tag universe exceeds $MaxTagUniverse distinct links. " +
+        "NEL evaluation is defined over a gazetteer-bounded link space " +
+        "(scenario-II attribution iterates the whole universe per " +
+        "spurious span); evaluating against an open-domain QID table " +
+        "requires pre-restricting the universe to the gold's links. " +
+        "Refusing to collect it to the driver.")
+    rows.map(_.getString(0)).toSet -- NonTags
   }
 
   /** Scenario counts over link tables: pred `(url, types, l, r)`, gold
@@ -339,9 +362,9 @@ object NelEval {
     * `(url, entity, l, r)`. The tag universe is derived from the tables
     * themselves (primary alternatives ∪ gold links). */
   def reportFromLinkTables(pred: DataFrame, gold: DataFrame): DataFrame = {
-    val primaries = pred.select(element_at(col("types"), 1).as("t"))
-      .unionAll(gold.select(col("entity").as("t")))
-      .distinct().collect().map(_.getString(0)).toSet -- NonTags
+    val primaries = boundedTagCollect(
+      pred.select(element_at(col("types"), 1).as("t"))
+        .unionAll(gold.select(col("entity").as("t"))))
     SpanEval.reportFromScenarios(scenarioCounts(pred, gold, primaries))
   }
 
@@ -360,9 +383,9 @@ object NelEval {
     * semantics use [[reportSlicedFromTokens]]. */
   def reportSliced(pred: DataFrame, gold: DataFrame,
       slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
-    val primaries = pred.select(element_at(col("types"), 1).as("t"))
-      .unionAll(gold.select(col("entity").as("t")))
-      .distinct().collect().map(_.getString(0)).toSet -- NonTags
+    val primaries = boundedTagCollect(
+      pred.select(element_at(col("types"), 1).as("t"))
+        .unionAll(gold.select(col("entity").as("t"))))
     val scan = slices.map { case (name, predicate) =>
       scenarioCounts(pred.where(predicate), gold.where(predicate), primaries)
         .withColumn("slice", lit(name))

@@ -129,24 +129,26 @@ object Dedup {
   /** LSH banding: explode the signature into `bands` rows keyed by
     * (band, hash-of-rows); docs sharing a band bucket are candidates.
     * `maxBucket` caps the per-bucket candidate fan-out (skew guard). */
-  def lshCandidatePairs(
+  /** Banded signature rows `(doc_id, band, bh)` for a documents table —
+    * the shared key derivation of the batch LSH path and the persisted
+    * signature store ([[SignatureStore]]); both MUST band identically or
+    * incremental probes miss pairs the batch path finds. Sub-shingle docs
+    * (fewer than `shingleN` tokens → no shingles) are gated out so they
+    * cannot collide into one degenerate all-MaxValue bucket. */
+  private[ops] def bandedSignatures(
       docs: DataFrame,
-      k: Int = 32,
-      bands: Int = 8,
-      shingleN: Int = 3,
-      maxBucket: Int = 64
+      k: Int,
+      bands: Int,
+      shingleN: Int
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     require(k == 32 && shingleN == 3,
       "signature UDF is specialized to k=32, n=3 (see minhashUdf32)")
     val rows = k / bands
-    // docs with fewer than n tokens have NO shingles (aligned with the
-    // exhaustive oracle, which drops them via a NULL jaccard) — gate them
-    // out before banding so they cannot collide into one degenerate bucket
     val sig = docs
       .where(size(split(col("text"), " ")) >= shingleN)
       .select(col("doc_id"), minhashUdf32(col("text")).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -154,6 +156,25 @@ object Dedup {
             transform(slice(col("sig"), b * rows + 1, lit(rows)), x => x.cast("string")),
             ",")).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Distinct word-shingle set per document `(doc_id, sh)` — the exact
+    * representation [[jaccardVerify]] compares (and [[SignatureStore]]
+    * persists so incremental verification never refetches corpus text). */
+  private[ops] def distinctShingleSets(docs: DataFrame, shingleN: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromToks(col("_toks"), shingleN)).as("sh"))
+
+  def lshCandidatePairs(
+      docs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    val banded = bandedSignatures(docs, k, bands, shingleN)
     // bucket members, capped to the maxBucket smallest doc_ids — a huge
     // bucket is boilerplate, not near-dup. The cap is applied with a
     // row_number window BEFORE any aggregation so the bound protects the
@@ -191,11 +212,19 @@ object Dedup {
       pairs: DataFrame,
       shingleN: Int = 3,
       minJaccard: Double = 0.8
+  ): DataFrame =
+    jaccardVerifyOnShingles(distinctShingleSets(docs, shingleN), pairs,
+      minJaccard)
+
+  /** As [[jaccardVerify]], but over a pre-computed `(doc_id, sh)` distinct
+    * shingle-set table — the incremental path verifies against PERSISTED
+    * old-document shingle sets without touching corpus text. */
+  def jaccardVerifyOnShingles(
+      shingleSets: DataFrame,
+      pairs: DataFrame,
+      minJaccard: Double = 0.8
   ): DataFrame = {
-    val withSh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
-      .select(col("doc_id"),
-        array_distinct(shinglesFromToks(col("_toks"), shingleN)).as("sh"))
+    val withSh = shingleSets
     pairs
       .join(withSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(withSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))

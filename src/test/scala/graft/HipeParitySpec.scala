@@ -785,4 +785,27 @@ class HipeParitySpec extends AnyFunSuite {
     assert(m("strict") == ((0.5, 0.5, 1.0)))
     assert(m("ent_type") == ((0.5, 0.5, 1.0)))
   }
+
+  test("NEL tag universe above the documented bound fails loudly, not OOM") {
+    import spark.implicits._
+    // an "open-domain" link table: more distinct QIDs than MaxTagUniverse.
+    // The collect must refuse BEFORE pulling the universe to the driver —
+    // the limit(max+1) plan bounds what the failure itself costs.
+    val n = graft.eval.NelEval.MaxTagUniverse + 1
+    val pred = spark.range(n.toLong)
+      .select(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("u"),
+          (col("id") % 10).cast("string")).as("url"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("Q"),
+            col("id").cast("string"))).as("types"),
+        org.apache.spark.sql.functions.lit(0).as("l"),
+        org.apache.spark.sql.functions.lit(5).as("r"))
+    val gold = Seq(("u1", "Q1", 0, 5)).toDF("url", "entity", "l", "r")
+    val e = intercept[IllegalArgumentException] {
+      graft.eval.NelEval.reportFromLinkTables(pred, gold)
+    }
+    assert(e.getMessage.contains("tag universe exceeds"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, SignatureStore}
+
+/** Incremental near-dup dedup against the persisted signature store:
+  * (1) probe(store, batch) must emit exactly the batch-touching pairs the
+  * batch path emits over (corpus ∪ batch); (2) the probe must READ only
+  * pruned partitions — listener-asserted bytes well under one pass over
+  * the store (and under the raw corpus payload), plus no corpus text. */
+class SignatureStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  test("incremental probe: pair parity with the batch path, pruned store read") {
+    import spark.implicits._
+    // corpus: 2000 unique docs, 20 tokens each
+    val corpus = (0L until 2000L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    // batch: 3 near-dups of corpus docs (one appended token → j = 18/19),
+    // 2 fresh docs, and an internal near-dup pair (10005 ~ 10006)
+    val nd = Seq(5L, 17L, 42L)
+    val batchRows =
+      nd.zipWithIndex.map { case (src, j) =>
+        (10000L + j, (1 to 20).map(t => s"c${src}_$t").mkString(" ") + " extra")
+      } ++ Seq(
+        (10003L, (1 to 20).map(t => s"f3_$t").mkString(" ")),
+        (10004L, (1 to 20).map(t => s"f4_$t").mkString(" ")),
+        (10005L, (1 to 20).map(t => s"g5_$t").mkString(" ")),
+        (10006L, (1 to 20).map(t => s"g5_$t").mkString(" ") + " tail"))
+    val batch = batchRows.toDF("doc_id", "text")
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore").toString
+    SignatureStore.write(corpus, path, nPrefixes = 64, k = 32, bands = 16,
+      shingleN = 3)
+    val storeBytes = dirBytes(new java.io.File(path))
+    val corpusBytes = corpus.select(sum(length(col("text"))))
+      .collect()(0).getLong(0)
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) read.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val pairs = SignatureStore.probe(spark, path, batch, k = 32,
+          bands = 16, shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
+          .collect()
+        var last = -1L
+        var spins = 0
+        while (read.get() != last && spins < 50) {
+          last = read.get(); Thread.sleep(100); spins += 1
+        }
+        pairs
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    // parity: the batch path over (corpus ∪ batch), restricted to pairs
+    // touching the batch
+    val all = corpus.unionByName(batch)
+    val expected = Dedup.jaccardVerify(all,
+      Dedup.lshCandidatePairs(all, k = 32, bands = 16, shingleN = 3,
+        maxBucket = 1024), shingleN = 3, minJaccard = 0.8)
+      .where(col("id1") >= 10000L || col("id2") >= 10000L)
+      .collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(canon(got) == canon(expected))
+    // the fixture really covers both shapes: 3 cross pairs + 1 internal
+    assert(canon(got).map(t => (t._1, t._2)) ==
+      Set((5L, 10000L), (17L, 10001L), (42L, 10002L), (10005L, 10006L)))
+
+    // read volume: pruned partitions only — far below one store pass and
+    // below one pass over the raw corpus text
+    info(s"probe read ${read.get()} bytes; store $storeBytes; corpus text $corpusBytes")
+    assert(read.get() < storeBytes / 2,
+      s"probe read ${read.get()} >= half the store ($storeBytes) — partition pruning broken?")
+    assert(read.get() < corpusBytes,
+      s"probe read ${read.get()} >= one corpus text pass ($corpusBytes)")
+  }
+
+  test("probe with no collisions reads no shingle partitions and finds nothing") {
+    import spark.implicits._
+    val corpus = (0L until 100L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq((5000L, (1 to 20).map(t => s"x_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore2").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16)
+    assert(SignatureStore.probe(spark, path, batch).count() == 0)
+  }
+
+  test("probe refuses a path without store metadata") {
+    import spark.implicits._
+    val batch = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, "/tmp/definitely_not_a_store", batch)
+        .count()
+    }
+    assert(e.getMessage.contains("_store_meta.json"))
+  }
+}
