@@ -111,7 +111,8 @@ object Synth {
 
     if (shortText) {
       val t = if (rng.nextBoolean()) "" else " "
-      return Row(Article(url, ts, fakeHtml(url, t), t, lang, tp), Seq.empty)
+      return Row(Article(url, ts, fakeHtml(url, t, lang, tp), t, lang, tp),
+        Seq.empty)
     }
 
     val filler = if (lang == "de") FillerDe else FillerFr
@@ -181,17 +182,25 @@ object Synth {
       s += 1
     }
     val text = sb.toString
-    Row(Article(url, ts, fakeHtml(url, text), text, lang, tp), gold.result())
+    Row(Article(url, ts, fakeHtml(url, text, lang, tp), text, lang, tp),
+      gold.result())
   }
 
   private def capitalize(w: String): String =
     if (w.isEmpty) w else w.head.toUpper.toString + w.tail
 
-  /** Deterministic fake "rebuilt OCR JSON" bytes standing in for the `html`
-    * binary column (`ContentItem.py:119-148` analog). `text` stays
-    * authoritative; multimodal ops treat this as an opaque payload. */
+  /** Deterministic FULL rebuilt content-item JSON bytes for the `html`
+    * binary column (`ContentItem.py:119-148`): fulltext plus line/
+    * paragraph/region break offsets and per-token page coordinates on a
+    * fixed-metric grid. `text` stays authoritative — the payload's `ft`
+    * byte-equals it (round-trip property in RebuiltSpec); multimodal ops
+    * may still treat it as opaque. */
   private def fakeHtml(url: String, text: String): Array[Byte] =
-    s"""{"id":"$url","blocks":${text.length}}""".getBytes("UTF-8")
+    fakeHtml(url, text, "fr", "ar")
+  private def fakeHtml(url: String, text: String, lang: String,
+      tp: String): Array[Byte] =
+    graft.sources.Rebuilt.toJsonBytes(
+      graft.sources.Rebuilt.fromText(url, lang, tp, text))
 
   // ---- Dataset builders ---------------------------------------------
 
