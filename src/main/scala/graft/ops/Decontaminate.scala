@@ -20,12 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word shingles per row, staged through an alias so the split
-    * runs once per row (see [[Dedup.shinglesFromToks]]). */
+  /** Distinct word shingles per row — the native one-pass expression
+    * ([[Dedup.distinctShingles]]), codegen'd into the scan projection. */
   private def withShingles(df: DataFrame, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), split(col("text"), " ").as("_toks"))
-      .select(col(idCol),
-        array_distinct(Dedup.shinglesFromToks(col("_toks"), n)).as("sh"))
+    df.select(col(idCol), Dedup.distinctShingles(col("text"), n).as("sh"))
 
   /** Contamination report: `(doc_id, bench_id, n_overlap)` for every
     * corpus×benchmark pair sharing ≥ `minOverlap` distinct `shingleN`-gram

@@ -158,14 +158,20 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Distinct word shingles of a text column via the native codegen'd
+    * [[graft.functions.WordShingles]] expression — semantically identical
+    * to `array_distinct(shinglesFromToks(split(text, " "), n))`
+    * (ExpressionSpec asserts parity) at one byte-level pass per row. */
+  def distinctShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
   /** Distinct word-shingle set per document `(doc_id, sh)` — the exact
     * representation [[jaccardVerify]] compares (and [[SignatureStore]]
     * persists so incremental verification never refetches corpus text). */
   private[ops] def distinctShingleSets(docs: DataFrame, shingleN: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("_toks"))
-      .select(col("doc_id"),
-        array_distinct(shinglesFromToks(col("_toks"), shingleN)).as("sh"))
+    docs.select(col("doc_id"), distinctShingles(col("text"), shingleN).as("sh"))
 
   def lshCandidatePairs(
       docs: DataFrame,

@@ -30,6 +30,35 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("native WordShingles expression: exact parity with the HOF form") {
+    import spark.implicits._
+    val cases = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d e",
+      "a  b c", "a b c ", " a b c", "a a a a a",
+      "x y x y x y",                      // duplicate shingles → distinct
+      "é ü ß mot café naïve über straße", // multibyte UTF-8
+      (1 to 50).map(i => s"w${i % 7}").mkString(" "))
+    val df = cases.toDF("text")
+    val hof = df.select(col("text"), array_distinct(
+      Dedup.shinglesFromToks(split(col("text"), " "), 3)).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val native = df.select(col("text"),
+      Dedup.distinctShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    cases.foreach { c =>
+      assert(native(c) == hof(c), s"mismatch for '$c'")
+    }
+    // null-safe + codegen participation (not a UDF in the plan)
+    val withNull = Seq(Option("a b c d"), None).toDF("text")
+    val got = withNull.select(Dedup.distinctShingles(col("text"), 3)).collect()
+    assert(got(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(got(1).isNullAt(0))
+    val plan = df.select(Dedup.distinctShingles(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_word_shingles"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("SQL registration via GraftExtensions.registerAll") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql("SELECT graft_simhash64('a b c') AS s").head.getLong(0)
