@@ -129,14 +129,19 @@ object ScalingBench {
     val (lo, hi) =
       if (args.length >= 3) (args(1).toInt, args(2).toInt) else (8, 32)
 
+    val rounds = if (args.length >= 4) args(3).toInt else 5
+
     materialize(nDocs)
-    // three interleaved rounds per level, each in a FRESH child JVM with a
-    // same-shape warm-up inside; best-of-3 (host-side contention on this
-    // shared VM shows up as ±15% outlier rounds — the minimum is the
-    // engine's floor)
+    // PAIRED protocol (round-3 verdict order #8): each round runs lo then
+    // hi back-to-back in the same time window, each in a FRESH child JVM
+    // with a same-shape warm-up inside. Host drift on this shared VM is
+    // slow (minutes), so a lo/hi pair sees the SAME contention level and
+    // its per-pair efficiency estimate cancels the drift that best-of
+    // selection could otherwise exploit. Reported: the per-pair
+    // efficiencies, their MEDIAN (headline), and the best-of floor.
     val losRaw = Seq.newBuilder[(Double, Long, Long)]
     val hisRaw = Seq.newBuilder[(Double, Long, Long)]
-    (1 to 3).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       losRaw += runInChildJvm(lo, nDocs)
       hisRaw += runInChildJvm(hi, nDocs)
     }
@@ -149,17 +154,32 @@ object ScalingBench {
     require(mLo == mHi && tLo == tHi,
       s"nondeterminism: $mLo/$tLo vs $mHi/$tHi")
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val coreRatio = hi.toDouble / lo
+    val pairedEffs = los.zip(his).map { case ((wl, _, _), (wh, _, _)) =>
+      (wl / wh) / coreRatio
+    }
+    val effMedian = median(pairedEffs)
+    val wallLoMed = median(los.map(_._1))
+    val wallHiMed = median(his.map(_._1))
+
     val dpsLo = nDocs / wallLo
     val dpsHi = nDocs / wallHi
     val tpsLo = tLo / wallLo
     val tpsHi = tHi / wallHi
-    val efficiency = (dpsHi / dpsLo) / (hi.toDouble / lo)
+    val efficiency = (dpsHi / dpsLo) / coreRatio
 
     val json =
       f"""{"n_docs":$nDocs,"n_mentions":$mLo,"n_triples":$tLo,""" +
-        f""""local$lo":{"wall_sec":$wallLo%.2f,"docs_per_sec":$dpsLo%.0f,"triples_per_sec":$tpsLo%.0f},""" +
-        f""""local$hi":{"wall_sec":$wallHi%.2f,"docs_per_sec":$dpsHi%.0f,"triples_per_sec":$tpsHi%.0f},""" +
-        f""""speedup":${dpsHi / dpsLo}%.2f,"scaling_efficiency":$efficiency%.3f}"""
+        f""""local$lo":{"wall_sec":$wallLo%.2f,"wall_sec_median":$wallLoMed%.2f,"docs_per_sec":$dpsLo%.0f,"triples_per_sec":$tpsLo%.0f},""" +
+        f""""local$hi":{"wall_sec":$wallHi%.2f,"wall_sec_median":$wallHiMed%.2f,"docs_per_sec":$dpsHi%.0f,"triples_per_sec":$tpsHi%.0f},""" +
+        f""""speedup":${dpsHi / dpsLo}%.2f,"scaling_efficiency_best":$efficiency%.3f,""" +
+        s""""paired_efficiencies":[${pairedEffs.map(e => f"$e%.3f").mkString(",")}],""" +
+        f""""scaling_efficiency_median_paired":$effMedian%.3f}"""
     println(json)
 
     val row =
@@ -168,18 +188,25 @@ object ScalingBench {
          |
          |Timed job: parquet scan (url-hash-bucketed at ingest) → gate → NER
          |mapPartitions → link → triples distinct+count, same $nDocs-doc input
-         |at both levels; each measurement in a fresh JVM (same-shape warm-up
-         |inside), best of 3 interleaved rounds per level.
+         |at both levels. PAIRED protocol: $rounds rounds, each running
+         |local[$lo] then local[$hi] back-to-back in the same contention
+         |window (fresh child JVM per measurement, same-shape warm-up
+         |inside); per-pair efficiency cancels slow host drift, the median
+         |over pairs is the headline, best-of kept for comparability.
          |
          || metric | local[$lo] | local[$hi] | ratio |
          || --- | --- | --- | --- |
-         || wall (s) | $wallLo%.2f | $wallHi%.2f | ${wallLo / wallHi}%.2f× |
-         || docs/s | $dpsLo%.0f | $dpsHi%.0f | ${dpsHi / dpsLo}%.2f× |
+         || wall best (s) | $wallLo%.2f | $wallHi%.2f | ${wallLo / wallHi}%.2f× |
+         || wall median (s) | $wallLoMed%.2f | $wallHiMed%.2f | ${wallLoMed / wallHiMed}%.2f× |
+         || docs/s (best) | $dpsLo%.0f | $dpsHi%.0f | ${dpsHi / dpsLo}%.2f× |
          || triples/s ($tLo triples) | $tpsLo%.0f | $tpsHi%.0f | ${tpsHi / tpsLo}%.2f× |
          |
-         |Scaling efficiency (speedup / core-ratio): **$efficiency%.3f** """.stripMargin +
-        (if (efficiency >= 0.8) "(≥ 0.8 criterion met)\n" else "(below 0.8!)\n") +
-        f"""Mentions/triples identical at both levels ($mLo / $tLo) — partitioning-invariant.
+         |Per-pair efficiencies: ${pairedEffs.map(e => f"$e%.3f").mkString(" / ")}
+         |Scaling efficiency — median over pairs: **$effMedian%.3f** """.stripMargin +
+        (if (effMedian >= 0.8) "(≥ 0.8 criterion met on the median)"
+         else "(median below 0.8!)") +
+        f"""; best-of: $efficiency%.3f
+           |Mentions/triples identical at both levels ($mLo / $tLo) — partitioning-invariant.
            |```json
            |$json
            |```
