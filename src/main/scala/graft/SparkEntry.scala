@@ -596,8 +596,8 @@ object SparkEntry {
         .where(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" qqzz")).as("text"))
-      graft.ops.SignatureStore.probe(s, store, batch, k = 32, bands = 16,
-        shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
+      graft.ops.SignatureStore.probe(s, store, batch, maxBucket = 1024,
+        minJaccard = 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
@@ -1112,7 +1112,9 @@ object SparkEntry {
                     || ' ' || t[CAST(i+3 AS INT)])) AS sh
            FROM bt)
          SELECT s.doc_id, b.bench_id,
-           CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_overlap
+           CAST(len(list_intersect(s.sh, b.sh)) AS BIGINT) AS n_overlap,
+           ROUND(CAST(len(list_intersect(s.sh, b.sh)) AS DOUBLE)
+             / len(b.sh), 6) AS overlap_ratio
          FROM sh s JOIN bsh b ON len(list_intersect(s.sh, b.sh)) >= 5""",
     "kg16_decontaminate" ->
       """WITH tok AS (

@@ -25,25 +25,38 @@ object Decontaminate {
   private def withShingles(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.select(col(idCol), Dedup.distinctShingles(col("text"), n).as("sh"))
 
-  /** Contamination report: `(doc_id, bench_id, n_overlap)` for every
-    * corpus×benchmark pair sharing ≥ `minOverlap` distinct `shingleN`-gram
-    * shingles. `bench` must have columns `(bench_id, text)`. */
+  /** Contamination report: `(doc_id, bench_id, n_overlap, overlap_ratio)`
+    * for every corpus×benchmark pair sharing ≥ `minOverlap` distinct
+    * `shingleN`-gram shingles AND covering ≥ `minRatio` of the benchmark
+    * row's shingle set (the containment form of Jaccard — the right
+    * normalization when the benchmark excerpt is much shorter than the
+    * document). `bench` must have columns `(bench_id, text)`. */
   def contaminationReport(
       docs: DataFrame,
       bench: DataFrame,
       shingleN: Int = 3,
-      minOverlap: Int = 5
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0
   ): DataFrame = {
+    val benchSets = withShingles(bench, "bench_id", shingleN)
     val dsh = withShingles(docs, "doc_id", shingleN)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val bsh = withShingles(bench, "bench_id", shingleN)
+    val bsh = benchSets
       .select(col("bench_id"), explode(col("sh")).as("shingle"))
+    val benchSizes = benchSets
+      .select(col("bench_id"), size(col("sh")).as("_bench_n"))
     // shingles are distinct per doc AND per bench row, so each matched
     // (doc_id, bench_id, shingle) row is unique — count(*) IS the overlap
     dsh.join(broadcast(bsh), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
-      .where(col("n_overlap") >= minOverlap)
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap") / col("_bench_n"), 6))
+      .where(col("n_overlap") >= minOverlap &&
+        col("overlap_ratio") >= minRatio)
+      .select(col("doc_id"), col("bench_id"), col("n_overlap"),
+        col("overlap_ratio"))
   }
 
   /** Flagged corpus ids: documents contaminated by ANY benchmark row. */

@@ -68,6 +68,10 @@ object SignatureStore {
     * batch itself. Old↔old pairs are by design absent — the corpus was
     * already deduplicated when the store was written.
     *
+    * Signature parameters (k, bands, shingleN, prefix modulus) are read
+    * from the store's OWN metadata, never passed by the caller — a probe
+    * banding differently than ingest silently misses every pair.
+    *
     * `maxBucket` caps collisions per (band, bh) bucket exactly like the
     * batch path (boilerplate guard). Batch doc_ids must be disjoint from
     * stored ones.
@@ -76,12 +80,11 @@ object SignatureStore {
       spark: SparkSession,
       path: String,
       batch: DataFrame,
-      k: Int = 32,
-      bands: Int = 8,
-      shingleN: Int = 3,
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
   ): DataFrame = {
+    val m = readMeta(path)
+    val (k, bands, shingleN) = (m.k, m.bands, m.shingleN)
     // batch-side keys and shingles: batch-sized, computed once
     val bKeys = Dedup.bandedSignatures(batch, k, bands, shingleN)
       .localCheckpoint()
@@ -90,7 +93,7 @@ object SignatureStore {
     // 1. band partitions the batch can possibly collide into: ≤ nPrefixes
     //    literal values — a driver-side collect bounded by the partition
     //    fan-out, NOT by batch or corpus size
-    val bhPfx = bKeys.select(pmod(col("bh"), partitionModulus(spark, path, "bands"))
+    val bhPfx = bKeys.select(pmod(col("bh"), lit(m.nPrefixes.toLong))
         .as("p")).distinct().collect().map(_.getLong(0))
     val oldBands = spark.read.parquet(s"$path/bands")
       .where(col("bh_pfx").isin(bhPfx.map(java.lang.Long.valueOf): _*))
@@ -128,7 +131,7 @@ object SignatureStore {
       .join(bSh.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .distinct().localCheckpoint()
     val docPfx = oldIds.select(
-        pmod(col("doc_id"), partitionModulus(spark, path, "shingles")).as("p"))
+        pmod(col("doc_id"), lit(m.nPrefixes.toLong)).as("p"))
       .distinct().collect().map(_.getLong(0))
     val oldSh =
       if (docPfx.isEmpty)
@@ -141,18 +144,42 @@ object SignatureStore {
     Dedup.jaccardVerifyOnShingles(oldSh.unionByName(bSh), pairs, minJaccard)
   }
 
-  /** The store's partition modulus, read from the layout's own metadata
-    * (written by [[write]]) so probes cannot silently use a different P
-    * than ingest did. */
-  private def partitionModulus(spark: SparkSession, path: String,
-      table: String): org.apache.spark.sql.Column = {
+  /** Fold a deduplicated batch INTO the store — the production loop's
+    * second half (probe → drop/keep decisions upstream → append the
+    * survivors so the NEXT batch dedups against them too). Band keys and
+    * shingle sets are derived with the store's own metadata parameters
+    * and appended into the existing prefix partitions. */
+  def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val m = readMeta(path)
+    Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN)
+      .withColumn("bh_pfx", pmod(col("bh"), lit(m.nPrefixes.toLong)))
+      .repartition(col("bh_pfx"))
+      .write.mode("append").partitionBy("bh_pfx")
+      .parquet(s"$path/bands")
+    Dedup.distinctShingleSets(batch, m.shingleN)
+      .withColumn("doc_pfx", pmod(col("doc_id"), lit(m.nPrefixes.toLong)))
+      .repartition(col("doc_pfx"))
+      .write.mode("append").partitionBy("doc_pfx")
+      .parquet(s"$path/shingles")
+  }
+
+  private final case class Meta(nPrefixes: Int, k: Int, bands: Int,
+      shingleN: Int)
+
+  /** The store's signature parameters, read from the layout's own
+    * metadata (written by [[write]]) so probes/appends cannot silently
+    * use different banding than ingest did. */
+  private def readMeta(path: String): Meta = {
     val meta = java.nio.file.Paths.get(s"$path/_store_meta.json")
     require(java.nio.file.Files.exists(meta),
       s"$path/_store_meta.json missing — was the store written with " +
         "SignatureStore.write?")
     val json = java.nio.file.Files.readString(meta)
-    val m = """"nPrefixes"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-    require(m.isDefined, s"malformed $meta: $json")
-    lit(m.get.group(1).toLong)
+    def field(name: String): Int = {
+      val m = (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
+      require(m.isDefined, s"malformed $meta (missing $name): $json")
+      m.get.group(1).toInt
+    }
+    Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"))
   }
 }

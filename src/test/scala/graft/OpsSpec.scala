@@ -93,9 +93,18 @@ class OpsSpec extends AnyFunSuite {
     val d = docs((1L, contaminated), (2L, partial), (3L, clean))
     val report = graft.ops.Decontaminate
       .contaminationReport(d, bench, shingleN = 3, minOverlap = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // doc 1 shares all 8 bench shingles; doc 2 only 4 (< 5); doc 3 none
-    assert(report.toSeq == Seq((1L, 100L, 8L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1 shares all 8 bench shingles (containment ratio 1.0); doc 2
+    // only 4 (< 5); doc 3 none
+    assert(report.toSeq == Seq((1L, 100L, 8L, 1.0)))
+    // the ratio gate alone also holds: full containment survives 0.9
+    assert(graft.ops.Decontaminate
+      .contaminationReport(d, bench, 3, minOverlap = 1, minRatio = 0.9)
+      .count() == 1)
+    assert(graft.ops.Decontaminate
+      .contaminationReport(d, bench, 3, minOverlap = 1, minRatio = 0.0)
+      .count() == 2) // the partial (4/8 = 0.5) pair appears at ratio 0
     val kept = graft.ops.Decontaminate
       .decontaminate(d, bench, shingleN = 3, minOverlap = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -56,8 +56,8 @@ class SignatureStoreSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val got =
       try {
-        val pairs = SignatureStore.probe(spark, path, batch, k = 32,
-          bands = 16, shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
+        val pairs = SignatureStore.probe(spark, path, batch,
+          maxBucket = 1024, minJaccard = 0.8)
           .collect()
         var last = -1L
         var spins = 0
@@ -103,6 +103,28 @@ class SignatureStoreSpec extends AnyFunSuite {
       .createTempDirectory("graft_sigstore2").toString
     SignatureStore.write(corpus, path, nPrefixes = 16)
     assert(SignatureStore.probe(spark, path, batch).count() == 0)
+  }
+
+  test("append folds a batch into the store: the NEXT batch dedups against it") {
+    import spark.implicits._
+    val corpus = (0L until 100L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore3").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    // batch B: one fresh doc; appended after (an empty) probe
+    val bText = (1 to 20).map(t => s"b_$t").mkString(" ")
+    val batchB = Seq((200L, bText)).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, path, batchB).count() == 0)
+    SignatureStore.append(spark, path, batchB)
+    // batch C: a near-dup of the B doc — must now pair against the STORE
+    val batchC = Seq((300L, bText + " tail")).toDF("doc_id", "text")
+    val got = SignatureStore.probe(spark, path, batchC).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((200L, 300L)))
+    assert(math.abs(got.head.getDouble(2) - 18.0 / 19.0) < 1e-9)
   }
 
   test("probe refuses a path without store metadata") {
