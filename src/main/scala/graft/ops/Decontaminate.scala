@@ -51,12 +51,12 @@ object Decontaminate {
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .join(broadcast(benchSizes), Seq("bench_id"))
-      .withColumn("overlap_ratio",
-        round(col("n_overlap") / col("_bench_n"), 6))
+      // threshold on the RAW ratio — rounding first would misclassify
+      // values within 5e-7 of the cut; the rounded form is display-only
       .where(col("n_overlap") >= minOverlap &&
-        col("overlap_ratio") >= minRatio)
+        col("n_overlap") / col("_bench_n") >= minRatio)
       .select(col("doc_id"), col("bench_id"), col("n_overlap"),
-        col("overlap_ratio"))
+        round(col("n_overlap") / col("_bench_n"), 6).as("overlap_ratio"))
   }
 
   /** Flagged corpus ids: documents contaminated by ANY benchmark row. */

@@ -126,9 +126,6 @@ object Dedup {
   private val minhashUdf32 =
     udf((text: String) => minhashSignatureScala(text, 32, 3))
 
-  /** LSH banding: explode the signature into `bands` rows keyed by
-    * (band, hash-of-rows); docs sharing a band bucket are candidates.
-    * `maxBucket` caps the per-bucket candidate fan-out (skew guard). */
   /** Banded signature rows `(doc_id, band, bh)` for a documents table —
     * the shared key derivation of the batch LSH path and the persisted
     * signature store ([[SignatureStore]]); both MUST band identically or
@@ -173,21 +170,34 @@ object Dedup {
   private[ops] def distinctShingleSets(docs: DataFrame, shingleN: Int): DataFrame =
     docs.select(col("doc_id"), distinctShingles(col("text"), shingleN).as("sh"))
 
+  /** LSH banding: docs sharing a (band, bh) bucket are candidate pairs.
+    * `maxBucket` caps the per-bucket candidate fan-out (skew guard). */
   def lshCandidatePairs(
       docs: DataFrame,
       k: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3,
       maxBucket: Int = 64
+  ): DataFrame =
+    candidatePairsFromBanded(bandedSignatures(docs, k, bands, shingleN),
+      maxBucket)
+
+  /** Candidate pairs from pre-computed banded rows `(doc_id, band, bh)` —
+    * the shared bucket→pairs stage of the batch path and the incremental
+    * store probe (both MUST cap identically or their outputs diverge on
+    * degenerate buckets).
+    *
+    * Bucket members are capped to the `maxBucket` SMALLEST doc_ids — a
+    * huge bucket is boilerplate, not near-dup. The cap is applied with a
+    * row_number window BEFORE any aggregation so the bound protects the
+    * aggregation-buffer MEMORY, not just the pair output: the round-1
+    * `slice(sort_array(collect_list(...)))` form materialized a degenerate
+    * bucket's entire membership in one buffer — a 10^8-member boilerplate
+    * bucket at web scale OOMs the executor before the slice runs. */
+  private[ops] def candidatePairsFromBanded(
+      banded: DataFrame,
+      maxBucket: Int
   ): DataFrame = {
-    val banded = bandedSignatures(docs, k, bands, shingleN)
-    // bucket members, capped to the maxBucket smallest doc_ids — a huge
-    // bucket is boilerplate, not near-dup. The cap is applied with a
-    // row_number window BEFORE any aggregation so the bound protects the
-    // aggregation-buffer MEMORY, not just the pair output: the round-1
-    // `slice(sort_array(collect_list(...)))` form materialized a degenerate
-    // bucket's entire membership in one buffer — a 10^8-member boilerplate
-    // bucket at web scale OOMs the executor before the slice runs.
     val capW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
     val capped = banded

@@ -26,17 +26,25 @@ import org.apache.spark.sql.functions._
   * store scan — still id+shingle data, never the raw text.
   *
   * Exactness: the store and the batch derive band keys through the SAME
-  * signature ([[Dedup.bandedSignatures]]) and verify through the SAME
-  * shingle representation ([[Dedup.distinctShingleSets]]), so
+  * signature ([[Dedup.bandedSignatures]]), the bucket cap + pair stage is
+  * the SAME code over the merged old∪batch membership
+  * ([[Dedup.candidatePairsFromBanded]]), and verification uses the SAME
+  * shingle representation ([[Dedup.distinctShingleSets]]) — so
   * `probe(store, batch)` emits exactly the batch-touching subset of what
-  * the batch path `jaccardVerify(lshCandidatePairs(old ∪ batch))` emits
-  * (spec-asserted on a planted fixture).
+  * the batch path `jaccardVerify(lshCandidatePairs(old ∪ batch))` emits,
+  * including on degenerate buckets where the cap bites (spec-asserted on
+  * planted fixtures).
   */
 object SignatureStore {
 
   /** Ingest-time write: band keys + shingle sets for `docs(doc_id, text)`,
     * partitioned for probe-time pruning. `nPrefixes` trades partition
-    * count against pruning granularity (web scale: 1024+). */
+    * count against pruning granularity (web scale: 1024+).
+    *
+    * Failure discipline: the metadata file is DELETED first and rewritten
+    * only after both data writes succeed, so a mid-write crash leaves a
+    * store with no metadata — [[probe]]/[[append]] then refuse LOUDLY
+    * instead of silently probing new partitions with stale parameters. */
   def write(
       docs: DataFrame,
       path: String,
@@ -45,6 +53,8 @@ object SignatureStore {
       bands: Int = 8,
       shingleN: Int = 3
   ): Unit = {
+    val spark = docs.sparkSession
+    deleteMeta(spark, path)
     Dedup.bandedSignatures(docs, k, bands, shingleN)
       .withColumn("bh_pfx", pmod(col("bh"), lit(nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
@@ -58,8 +68,7 @@ object SignatureStore {
     // the partition modulus is part of the layout contract: a probe with
     // a different P computes prefixes that miss the written partitions,
     // so P travels WITH the store, never as a caller-remembered argument
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/_store_meta.json"),
+    writeMeta(spark, path,
       s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,"shingleN":$shingleN}""")
   }
 
@@ -83,9 +92,11 @@ object SignatureStore {
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
   ): DataFrame = {
-    val m = readMeta(path)
+    val m = readMeta(spark, path)
     val (k, bands, shingleN) = (m.k, m.bands, m.shingleN)
-    // batch-side keys and shingles: batch-sized, computed once
+    // batch-side keys and shingles: batch-sized, computed ONCE (the
+    // signature UDF is the dominant per-row cost — the checkpointed keys
+    // feed both the prefix collect and the unified pair stage below)
     val bKeys = Dedup.bandedSignatures(batch, k, bands, shingleN)
       .localCheckpoint()
     val bSh = Dedup.distinctShingleSets(batch, shingleN).localCheckpoint()
@@ -98,29 +109,30 @@ object SignatureStore {
     val oldBands = spark.read.parquet(s"$path/bands")
       .where(col("bh_pfx").isin(bhPfx.map(java.lang.Long.valueOf): _*))
 
-    // 2. exact (band, bh) match via broadcast of the batch keys — the
-    //    pruned store side streams, nothing shuffles
-    val collided = oldBands
-      .join(broadcast(bKeys.select(col("band"), col("bh"),
-        col("doc_id").as("new_id"))), Seq("band", "bh"))
-    // boilerplate cap per bucket, old side (same guard as the batch path)
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"), col("new_id"))
-      .orderBy(col("doc_id"))
-    val crossPairs = collided
-      .withColumn("_rn", row_number().over(capW))
-      .where(col("_rn") <= maxBucket)
-      .select(col("doc_id").as("id1"), col("new_id").as("id2"))
-      .where(col("id1") =!= col("id2"))
-      .select(least(col("id1"), col("id2")).as("id1"),
-        greatest(col("id1"), col("id2")).as("id2"))
-      .distinct()
-
-    // 3. new↔new pairs: the plain batch path over the batch alone
-    val withinPairs = Dedup.lshCandidatePairs(batch, k, bands, shingleN,
-      maxBucket)
-
-    val pairs = crossPairs.unionByName(withinPairs).distinct()
+    // 2. ONE pair stage over the merged bucket membership: old members of
+    //    buckets the batch collides into (left-semi vs the broadcast
+    //    batch keys — the pruned store side streams, nothing shuffles)
+    //    unioned with ALL batch keys, then the EXACT batch-path cap and
+    //    pair generation (Dedup.candidatePairsFromBanded). Running the
+    //    cap over the merged membership is what makes probe ≡ the
+    //    batch-touching subset of lshCandidatePairs(old ∪ batch) even on
+    //    degenerate buckets — a per-side cap would keep a new doc the
+    //    batch path's smallest-ids cap evicts.
+    val batchBuckets = broadcast(bKeys.select(col("band"), col("bh")))
+    val members = oldBands.select(col("doc_id"), col("band"), col("bh"))
+      .join(batchBuckets, Seq("band", "bh"), "left_semi")
+      .unionByName(bKeys.select(col("doc_id"), col("band"), col("bh")))
+    val allPairs = Dedup.candidatePairsFromBanded(members, maxBucket)
+    // keep only pairs touching the batch (old↔old pairs inside a
+    // colliding bucket were already handled when the store was built)
+    val batchIds = bSh.select(col("doc_id"))
+    val pairs = allPairs
+      .join(broadcast(batchIds.select(col("doc_id").as("id1"),
+        lit(1).as("_n1"))), Seq("id1"), "left")
+      .join(broadcast(batchIds.select(col("doc_id").as("id2"),
+        lit(1).as("_n2"))), Seq("id2"), "left")
+      .where(col("_n1").isNotNull || col("_n2").isNotNull)
+      .select(col("id1"), col("id2"))
       .localCheckpoint()
 
     // 4. old shingle sets for exactly the colliding docs: prune the
@@ -150,7 +162,7 @@ object SignatureStore {
     * shingle sets are derived with the store's own metadata parameters
     * and appended into the existing prefix partitions. */
   def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
-    val m = readMeta(path)
+    val m = readMeta(spark, path)
     Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN)
       .withColumn("bh_pfx", pmod(col("bh"), lit(m.nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
@@ -166,18 +178,39 @@ object SignatureStore {
   private final case class Meta(nPrefixes: Int, k: Int, bands: Int,
       shingleN: Int)
 
+  // metadata goes through the Hadoop filesystem of the store path — the
+  // same filesystem the parquet tables live on — so the store works on
+  // hdfs://, s3a://, and shared mounts, not just the driver's local disk
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_store_meta.json")
+  private def fs(spark: SparkSession, path: String) =
+    metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteMeta(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(metaPath(path), false)
+
+  private def writeMeta(spark: SparkSession, path: String,
+      json: String): Unit = {
+    val out = fs(spark, path).create(metaPath(path), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The store's signature parameters, read from the layout's own
     * metadata (written by [[write]]) so probes/appends cannot silently
     * use different banding than ingest did. */
-  private def readMeta(path: String): Meta = {
-    val meta = java.nio.file.Paths.get(s"$path/_store_meta.json")
-    require(java.nio.file.Files.exists(meta),
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val f = fs(spark, path)
+    val p = metaPath(path)
+    require(f.exists(p),
       s"$path/_store_meta.json missing — was the store written with " +
-        "SignatureStore.write?")
-    val json = java.nio.file.Files.readString(meta)
+        "SignatureStore.write? (an interrupted write deletes it first, " +
+        "so a meta-less store is an incomplete one)")
+    val in = f.open(p)
+    val json =
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
     def field(name: String): Int = {
       val m = (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
-      require(m.isDefined, s"malformed $meta (missing $name): $json")
+      require(m.isDefined, s"malformed $p (missing $name): $json")
       m.get.group(1).toInt
     }
     Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"))

@@ -91,6 +91,15 @@ object Rebuilt {
 
     val lineStartOffset = scala.collection.mutable.Map(0 -> 0)
     lb.zipWithIndex.foreach { case (e, i) => lineStartOffset(i + 1) = e + 1 }
+    // hyphenation halves, the OCR line-wrap case: a '-'-terminated token
+    // at the END of a line is the first half of a split word (hy1); the
+    // FIRST token of the next line is its continuation (hy2)
+    val hy1s = tokens.indices.map { ti =>
+      val (s, l) = tokens(ti)
+      l > 1 && text.charAt(s + l - 1) == '-' &&
+        ti + 1 < tokens.length && lineOf(ti + 1) != lineOf(ti)
+    }
+    val hy2s = tokens.indices.map(ti => ti > 0 && hy1s(ti - 1))
     val pages = tokens.zipWithIndex
       .groupBy { case (_, ti) => lineOf(ti) / 5 }
       .toSeq.sortBy(_._1)
@@ -101,11 +110,9 @@ object Rebuilt {
             val line = lineOf(ti)
             val x = 40 + 8 * (s - lineStartOffset(line))
             val y = 60 + 14 * (line % 5)
-            // hyphenation halves: a token ending in '-' that is not
-            // line-final is the first half of a split word
-            val hy1 = l > 1 && text.charAt(s + l - 1) == '-'
             PageToken(Seq(x, y, 8 * l, 12), s, l,
-              if (hy1) Some(true) else None, None)
+              if (hy1s(ti)) Some(true) else None,
+              if (hy2s(ti)) Some(true) else None)
           })
       }
     RebuiltItem(id, Option(lg).filter(_.nonEmpty), tp,

@@ -195,8 +195,6 @@ object Synth {
     * fixed-metric grid. `text` stays authoritative — the payload's `ft`
     * byte-equals it (round-trip property in RebuiltSpec); multimodal ops
     * may still treat it as opaque. */
-  private def fakeHtml(url: String, text: String): Array[Byte] =
-    fakeHtml(url, text, "fr", "ar")
   private def fakeHtml(url: String, text: String, lang: String,
       tp: String): Array[Byte] =
     graft.sources.Rebuilt.toJsonBytes(

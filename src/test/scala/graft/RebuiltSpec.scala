@@ -101,6 +101,19 @@ class RebuiltSpec extends AnyFunSuite {
       col("he") =!= col("rOffset")).count() == 0)
   }
 
+  test("hyphenation halves: hy1 only on line-FINAL '-' tokens, hy2 on the continuation") {
+    // width 10 forces a wrap after "gouverne-": line-end hyphen → hy1,
+    // next line's first token → hy2
+    val item = Rebuilt.fromText("u", "fr", "ar", "gouverne- ment suit",
+      lineWidth = 10)
+    val toks = item.ppreb.flatMap(_.t).sortBy(_.s)
+    assert(toks.map(t => (t.hy1, t.hy2)) == Seq(
+      (Some(true), None), (None, Some(true)), (None, None)))
+    // a mid-line '-' token (no wrap) is NOT a hyphenation half
+    val flat = Rebuilt.fromText("u", "fr", "ar", "selon ATS- SDA hier")
+    assert(flat.ppreb.flatMap(_.t).forall(t => t.hy1.isEmpty && t.hy2.isEmpty))
+  }
+
   test("TextNorm interplay: accent fold preserves offsets, punct cleanup does not") {
     // length-preserving fold: precomposed Latin accents decompose 1:1, so
     // every (s, l) token window stays aligned on the folded text

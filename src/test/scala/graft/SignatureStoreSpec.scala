@@ -127,6 +127,29 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(math.abs(got.head.getDouble(2) - 18.0 / 19.0) < 1e-9)
   }
 
+  test("degenerate bucket: probe cap equals the batch path's smallest-ids cap") {
+    import spark.implicits._
+    // 100 identical boilerplate docs with SMALL ids + one identical batch
+    // doc with a BIG id. The batch path's cap keeps the maxBucket=50
+    // smallest ids of the merged bucket — the batch doc is EVICTED and no
+    // batch-touching pair exists. The probe must agree (a per-side cap
+    // would wrongly emit 50 pairs here).
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val corpus = (0L until 100L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val batch = Seq((5000L, boiler)).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore4").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    assert(SignatureStore.probe(spark, path, batch, maxBucket = 50).count()
+      == 0)
+    val batchPath = Dedup.jaccardVerify(corpus.unionByName(batch),
+      Dedup.lshCandidatePairs(corpus.unionByName(batch), k = 32,
+        bands = 16, shingleN = 3, maxBucket = 50))
+      .where(col("id1") === 5000L || col("id2") === 5000L)
+    assert(batchPath.count() == 0)
+  }
+
   test("probe refuses a path without store metadata") {
     import spark.implicits._
     val batch = Seq((1L, "a b c d e")).toDF("doc_id", "text")
