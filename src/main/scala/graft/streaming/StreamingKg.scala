@@ -107,6 +107,50 @@ object StreamingKg {
         })
   }
 
+  /** Streaming NEAR-dup dedup through the persisted signature store —
+    * the production incremental loop as a continuous query: each
+    * micro-batch (1) probes the store ([[graft.ops.SignatureStore.probe]]
+    * — partition-pruned reads, no corpus rescan), (2) drops every batch
+    * document that near-duplicates a stored document or a smaller-id
+    * batch document, (3) appends the SURVIVORS' parquet to `outDir` and
+    * their signatures to the store, so later micro-batches dedup against
+    * them too.
+    *
+    * `foreachBatch` is the right operator here: the probe is a batch
+    * join against an external indexed table — a streaming stateful op
+    * would have to hold the whole signature store in executor state.
+    *
+    * Drop rule: a document is dropped iff it is the GREATER id of some
+    * verified pair. That equals connected-components keep-min semantics
+    * ([[graft.ops.Dedup.nearDupDedup]]): any non-minimal member of a
+    * cluster has a smaller verified neighbor, and the minimum never
+    * does. Batch doc_ids must be globally unique and larger than all
+    * previously stored ids for keep-FIRST semantics (monotone ids —
+    * the natural ingest numbering). */
+  def nearDupDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      outDir: String,
+      checkpointDir: String,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val pairs = graft.ops.SignatureStore.probe(spark, storePath, b,
+          maxBucket, minJaccard)
+        val dropIds = pairs
+          .select(greatest(col("id1"), col("id2")).as("doc_id")).distinct()
+        val survivors = b.join(dropIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(outDir)
+        graft.ops.SignatureStore.append(spark, storePath, survivors)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Start a memory-sink query for tests/smoke (append mode). */
   def startMemorySink(mentions: Dataset[Mention], name: String,
       checkpointDir: String): StreamingQuery =

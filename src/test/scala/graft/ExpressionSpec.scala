@@ -63,6 +63,14 @@ class ExpressionSpec extends AnyFunSuite {
     GraftExtensions.registerAll(spark)
     val r = spark.sql("SELECT graft_simhash64('a b c') AS s").head.getLong(0)
     assert(r == Dedup.simhash64Scala("a b c"))
+    val sh = spark.sql("SELECT graft_word_shingles('a b c d', 3) AS sh")
+      .head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    // a non-literal width is a loud analysis-time failure
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b c', length('xy'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
   }
 
   test("expandOccurrences explodes every literal occurrence (L2)") {

@@ -129,4 +129,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(out2 == Set(1L, 3L, 5L)) // doc 4 suppressed — seen in state
     } finally q.stop()
   }
+
+  test("streaming NEAR-dup dedup: store probe + survivor append across micro-batches") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("nd_in").toString
+    val ckDir = Files.createTempDirectory("nd_ck").toString
+    val outDir = Files.createTempDirectory("nd_out").toString + "/survivors"
+    val store = Files.createTempDirectory("nd_store").toString
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    // seed corpus in the store: docs 0..49
+    val corpus = (0L until 50L).map(i => (i, words(s"c$i")))
+      .toDF("doc_id", "text")
+    graft.ops.SignatureStore.write(corpus, store, nPrefixes = 16, k = 32,
+      bands = 16, shingleN = 3)
+
+    // micro-batch 1: one near-dup of stored doc 7, one fresh doc
+    Seq((100L, words("c7") + " tail"), (101L, words("f1")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = StreamingKg.nearDupDedupStream(stream, store, outDir, ckDir,
+      maxBucket = 1024, minJaccard = 0.8)
+    try {
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out1 == Set(101L)) // 100 near-dups stored doc 7 → dropped
+
+      // micro-batch 2: a near-dup of batch-1's SURVIVOR (cross-batch via
+      // the store append), a near-dup within the batch, and a fresh doc
+      Seq((200L, words("f1") + " tail"),
+        (201L, words("g2")), (202L, words("g2") + " x"),
+        (203L, words("h3")))
+        .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // 200 dups the appended 101; 202 dups 201 within the batch
+      assert(out2 == Set(101L, 201L, 203L))
+    } finally q.stop()
+  }
 }
