@@ -37,16 +37,24 @@ object GraftExtensions {
       "graft_word_shingles", wordShinglesBuilder, "built-in")
   }
 
-  /** `graft_word_shingles(text, n)` — the width must be a foldable
-    * integer literal (it parameterizes the generated code). */
+  /** `graft_word_shingles(text, n)` — the width must be a FOLDABLE
+    * integer expression (it parameterizes the generated code, so it is
+    * evaluated once here at resolution time: bare literals, `1 + 2`,
+    * `CAST(3 AS INT)` all work; a per-row column does not). */
   private[graft] def wordShinglesBuilder(
       children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "graft_word_shingles(text, n) takes exactly two arguments")
-    val n = children(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    val nExpr = children(1)
+    val n = nExpr match {
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.IntegerType =>
+        val v = e.eval()
+        require(v != null, "graft_word_shingles: n must not be null")
+        v.asInstanceOf[Int]
       case other => throw new IllegalArgumentException(
-        s"graft_word_shingles: n must be an integer literal, got $other")
+        "graft_word_shingles: n must be a foldable integer expression " +
+          s"(an integer literal or constant), got $other")
     }
     WordShingles(children.head, n)
   }

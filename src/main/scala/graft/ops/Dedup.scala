@@ -211,6 +211,12 @@ object Dedup {
     buckets
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // a doc_id appearing twice in one bucket (duplicate input rows, or
+      // a store row meeting its own re-appended copy in the incremental
+      // path) would otherwise emit a degenerate (id, id) self-pair that
+      // verifies at jaccard 1.0 and makes keep-min consumers delete the
+      // doc outright
+      .where(col("id1") =!= col("id2"))
       .distinct()
   }
 

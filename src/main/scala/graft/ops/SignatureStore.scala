@@ -91,7 +91,20 @@ object SignatureStore {
       batch: DataFrame,
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
-  ): DataFrame = {
+  ): DataFrame =
+    probeWithSignatures(spark, path, batch, maxBucket, minJaccard)._1
+
+  /** As [[probe]], additionally returning the batch's checkpointed band
+    * keys and shingle sets — callers that go on to [[appendSignatures]]
+    * (the streaming loop) reuse them instead of paying the signature UDF
+    * a second time over the survivors. */
+  def probeWithSignatures(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8
+  ): (DataFrame, DataFrame, DataFrame) = {
     val m = readMeta(spark, path)
     val (k, bands, shingleN) = (m.k, m.bands, m.shingleN)
     // batch-side keys and shingles: batch-sized, computed ONCE (the
@@ -122,6 +135,11 @@ object SignatureStore {
     val members = oldBands.select(col("doc_id"), col("band"), col("bh"))
       .join(batchBuckets, Seq("band", "bh"), "left_semi")
       .unionByName(bKeys.select(col("doc_id"), col("band"), col("bh")))
+      // tolerate duplicate store rows (an at-least-once append retry can
+      // re-append a batch): dedup the COLLIDING membership — bounded by
+      // collisions + batch size, never corpus-scale — so duplicates
+      // neither waste cap slots nor pair with themselves
+      .dropDuplicates("doc_id", "band", "bh")
     val allPairs = Dedup.candidatePairsFromBanded(members, maxBucket)
     // keep only pairs touching the batch (old↔old pairs inside a
     // colliding bucket were already handled when the store was built)
@@ -152,8 +170,12 @@ object SignatureStore {
         .where(col("doc_pfx").isin(docPfx.map(java.lang.Long.valueOf): _*))
         .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("sh"))
+        // duplicate-row tolerance, same reason as `members` above: the
+        // verify join must see ONE shingle set per doc or pairs duplicate
+        .dropDuplicates("doc_id")
 
-    Dedup.jaccardVerifyOnShingles(oldSh.unionByName(bSh), pairs, minJaccard)
+    (Dedup.jaccardVerifyOnShingles(oldSh.unionByName(bSh), pairs,
+      minJaccard), bKeys, bSh)
   }
 
   /** Fold a deduplicated batch INTO the store — the production loop's
@@ -163,16 +185,36 @@ object SignatureStore {
     * and appended into the existing prefix partitions. */
   def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
     val m = readMeta(spark, path)
-    Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN)
+    appendSignatures(spark, path,
+      Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN),
+      Dedup.distinctShingleSets(batch, m.shingleN))
+  }
+
+  /** Append PRE-COMPUTED band keys + shingle sets (must come from this
+    * store's own parameters — e.g. the frames [[probeWithSignatures]]
+    * returns, filtered to the surviving doc_ids).
+    *
+    * Same failure discipline as [[write]]: the metadata is removed before
+    * the data appends and restored after both succeed, so a crash between
+    * the two appends leaves a meta-less store that probes REFUSE loudly —
+    * a valid-looking store whose band rows lack shingle sets would
+    * instead silently drop every pair those rows produce. */
+  def appendSignatures(spark: SparkSession, path: String,
+      banded: DataFrame, shingleSets: DataFrame): Unit = {
+    val m = readMeta(spark, path)
+    deleteMeta(spark, path)
+    banded.select(col("doc_id"), col("band"), col("bh"))
       .withColumn("bh_pfx", pmod(col("bh"), lit(m.nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
       .write.mode("append").partitionBy("bh_pfx")
       .parquet(s"$path/bands")
-    Dedup.distinctShingleSets(batch, m.shingleN)
+    shingleSets.select(col("doc_id"), col("sh"))
       .withColumn("doc_pfx", pmod(col("doc_id"), lit(m.nPrefixes.toLong)))
       .repartition(col("doc_pfx"))
       .write.mode("append").partitionBy("doc_pfx")
       .parquet(s"$path/shingles")
+    writeMeta(spark, path,
+      s"""{"nPrefixes":${m.nPrefixes},"k":${m.k},"bands":${m.bands},"shingleN":${m.shingleN}}""")
   }
 
   private final case class Meta(nPrefixes: Int, k: Int, bands: Int,

@@ -109,24 +109,34 @@ object StreamingKg {
 
   /** Streaming NEAR-dup dedup through the persisted signature store —
     * the production incremental loop as a continuous query: each
-    * micro-batch (1) probes the store ([[graft.ops.SignatureStore.probe]]
-    * — partition-pruned reads, no corpus rescan), (2) drops every batch
-    * document that near-duplicates a stored document or a smaller-id
-    * batch document, (3) appends the SURVIVORS' parquet to `outDir` and
-    * their signatures to the store, so later micro-batches dedup against
-    * them too.
+    * micro-batch (1) probes the store
+    * ([[graft.ops.SignatureStore.probeWithSignatures]] — partition-pruned
+    * reads, no corpus rescan), (2) drops the non-representatives of each
+    * near-dup cluster (connected components over the verified pairs, keep
+    * min id — [[graft.ops.Dedup.clustersFromPairs]]; stored docs are
+    * never dropped), (3) writes the SURVIVORS to `outDir/batch=<id>` and
+    * appends their ALREADY-COMPUTED signatures to the store, so later
+    * micro-batches dedup against them.
     *
     * `foreachBatch` is the right operator here: the probe is a batch
     * join against an external indexed table — a streaming stateful op
     * would have to hold the whole signature store in executor state.
     *
-    * Drop rule: a document is dropped iff it is the GREATER id of some
-    * verified pair. That equals connected-components keep-min semantics
-    * ([[graft.ops.Dedup.nearDupDedup]]): any non-minimal member of a
-    * cluster has a smaller verified neighbor, and the minimum never
-    * does. Batch doc_ids must be globally unique and larger than all
-    * previously stored ids for keep-FIRST semantics (monotone ids —
-    * the natural ingest numbering). */
+    * Retry safety (foreachBatch is at-least-once): a `_batch_<id>_done`
+    * marker on the store's filesystem makes a replayed epoch a no-op;
+    * survivors go to a PER-BATCH subdir in overwrite mode, so a retry
+    * that died mid-loop rewrites instead of duplicating; the store
+    * append restores its metadata only after both table appends (an
+    * interrupted append leaves a meta-less store that refuses loudly);
+    * and the probe itself tolerates re-appended duplicate signature rows.
+    *
+    * Semantics note: this is INCREMENTAL keep-first dedup — within one
+    * micro-batch the drop set equals the batch CC transform's, but a doc
+    * dropped in an earlier batch is not in the store, so a later doc
+    * similar ONLY to that dropped doc survives. That is the standard
+    * (and intended) contract of incremental dedup: the store holds
+    * exactly the retained corpus. Batch doc_ids must be globally unique
+    * and larger than stored ids (monotone ingest numbering). */
   def nearDupDedupStream(
       docs: DataFrame,
       storePath: String,
@@ -136,17 +146,32 @@ object StreamingKg {
       minJaccard: Double = 0.8
   ): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-        val pairs = graft.ops.SignatureStore.probe(spark, storePath, b,
-          maxBucket, minJaccard)
-        val dropIds = pairs
-          .select(greatest(col("id1"), col("id2")).as("doc_id")).distinct()
-        val survivors = b.join(dropIds, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        survivors.write.mode("append").parquet(outDir)
-        graft.ops.SignatureStore.append(spark, storePath, survivors)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$storePath/_batch_${batchId}_done")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          val (pairs, bKeys, bSh) = graft.ops.SignatureStore
+            .probeWithSignatures(spark, storePath, b, maxBucket, minJaccard)
+          // keep-min representatives: stored ids are smaller than batch
+          // ids by contract, so a cluster's rep is stored iff any stored
+          // doc is in it — batch members drop unless they ARE the rep
+          val drops = graft.ops.Dedup.clustersFromPairs(pairs)
+            .where(col("doc_id") =!= col("cluster_rep"))
+            .select(col("doc_id"))
+          val keep = b.join(drops, Seq("doc_id"), "left_anti")
+            .select(col("doc_id")).localCheckpoint()
+          b.join(keep, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          graft.ops.SignatureStore.appendSignatures(spark, storePath,
+            bKeys.join(keep, Seq("doc_id"), "left_semi"),
+            bSh.join(keep, Seq("doc_id"), "left_semi"))
+          val out = fs.create(marker, true)
+          try out.write(Array.empty[Byte]) finally out.close()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -66,11 +66,17 @@ class ExpressionSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT graft_word_shingles('a b c d', 3) AS sh")
       .head.getSeq[String](0)
     assert(sh == Seq("a b c", "b c d"))
-    // a non-literal width is a loud analysis-time failure
+    // any FOLDABLE integer expression works (evaluated at resolution)
+    val sh2 = spark.sql("SELECT graft_word_shingles('a b c d', 1 + 2) AS sh")
+      .head.getSeq[String](0)
+    assert(sh2 == sh)
+    // a non-foldable width is a loud analysis-time failure
     val e = intercept[Exception] {
-      spark.sql("SELECT graft_word_shingles('a b c', length('xy'))").collect()
+      spark.sql(
+        "SELECT graft_word_shingles('a b c', CAST(rand() * 3 AS INT))")
+        .collect()
     }
-    assert(e.getMessage.contains("integer literal"))
+    assert(e.getMessage.contains("foldable integer"))
   }
 
   test("expandOccurrences explodes every literal occurrence (L2)") {
