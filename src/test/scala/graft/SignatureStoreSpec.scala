@@ -83,6 +83,14 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(canon(got).map(t => (t._1, t._2)) ==
       Set((5L, 10000L), (17L, 10001L), (42L, 10002L), (10005L, 10006L)))
 
+    // the pruning is genuinely at the SOURCE: the probe plan's store
+    // scans carry PartitionFilters on the prefix columns (the same
+    // mechanism PlanSpec asserts for the IVF layout)
+    val plan = SignatureStore.probe(spark, path, batch, maxBucket = 1024,
+      minJaccard = 0.8).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      (plan.contains("bh_pfx") || plan.contains("doc_pfx")), plan)
+
     // read volume: pruned partitions only — far below one store pass and
     // below one pass over the raw corpus text
     info(s"probe read ${read.get()} bytes; store $storeBytes; corpus text $corpusBytes")
