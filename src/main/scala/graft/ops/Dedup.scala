@@ -66,65 +66,23 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(sh, s => xxhash64(s, j))))
 
-  /** Single-pass MinHash signature as a Scala function.
-    *
-    * Deliberately NOT the HOF form above for the hot path: higher-order
-    * functions are interpreted (CodegenFallback, no common-subexpression
-    * elimination), and nothing stops the optimizer from inlining the
-    * shingle expression into the k-iteration lambda — re-tokenizing each
-    * document up to k×|shingles| times. The imperative form is one pass:
-    * tokenize once, hash each shingle once, mix per permutation.
-    * Hashes are splitmix64-derived — deterministic on any cluster. */
+  /** Single-pass MinHash signature — one tokenize pass, one hash per
+    * shingle, one splitmix64 lane mix per permutation. Backed by the
+    * native codegen'd [[graft.functions.MinHashSig]] expression in the
+    * distributed path (no UDF, no String materialization; the historical
+    * Scala-UDF form is gone — it boxed every row through an encoder and
+    * broke WholeStageCodegen at the projection). This scalar form is the
+    * driver/test-side reference, bit-identical to the expression. */
   def minhashSignatureScala(text: String, k: Int, n: Int): Array[Long] = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    if (text == null) return sig
-    // < n tokens → no shingles → empty (all-MaxValue) signature, matching
-    // shinglesFromToks' empty-array branch
-    // token start/end offsets (single-space tokenization semantics)
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    starts += 0
-    var i = 0
-    while (i < text.length) {
-      if (text.charAt(i) == ' ') starts += i + 1
-      i += 1
-    }
-    val nToks = starts.length
-    def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    def shingleHash(from: Int, until: Int): Long = {
-      // FNV-1a over the chars of text[from, until) — identical bytes as
-      // the joined shingle string for single-space text
-      var h = 0xCBF29CE484222325L
-      var p = from
-      while (p < until) { h = (h ^ text.charAt(p)) * 0x100000001B3L; p += 1 }
-      mix(h)
-    }
-    if (nToks < n) return sig
-    val nShingles = nToks - n + 1
-    var s = 0
-    while (s < nShingles) {
-      val from = starts(s)
-      val until =
-        if (s + n < nToks) starts(s + n) - 1
-        else text.length
-      val h = shingleHash(from, until)
-      var j = 0
-      while (j < k) {
-        val hj = mix(h ^ (j * 0x9E3779B97F4A7C15L))
-        if (hj < sig(j)) sig(j) = hj
-        j += 1
-      }
-      s += 1
-    }
-    sig
+    if (text == null) return Array.fill(k)(Long.MaxValue)
+    graft.functions.MinHashSig.computeBytes(text.getBytes("UTF-8"), k, n)
   }
 
-  private val minhashUdf32 =
-    udf((text: String) => minhashSignatureScala(text, 32, 3))
+  /** MinHash signature column via the native expression. */
+  def minhashSignature(text: Column, k: Int, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, n))
 
   /** Banded signature rows `(doc_id, band, bh)` for a documents table —
     * the shared key derivation of the batch LSH path and the persisted
@@ -139,12 +97,11 @@ object Dedup {
       shingleN: Int
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    require(k == 32 && shingleN == 3,
-      "signature UDF is specialized to k=32, n=3 (see minhashUdf32)")
     val rows = k / bands
     val sig = docs
       .where(size(split(col("text"), " ")) >= shingleN)
-      .select(col("doc_id"), minhashUdf32(col("text")).as("sig"))
+      .select(col("doc_id"),
+        minhashSignature(col("text"), k, shingleN).as("sig"))
     sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

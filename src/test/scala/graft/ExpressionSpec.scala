@@ -59,6 +59,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("native MinHashSig expression: parity with the scalar form, codegen'd, no UDF") {
+    import spark.implicits._
+    val texts = Seq("a b c d e f", "", "x", "a b", "w1 w2 w3 w4 w5",
+      "é ü mot café naïve sur le marché")
+    val df = texts.toDF("text")
+    val got = df.select(col("text"),
+      graft.ops.Dedup.minhashSignature(col("text"), 32, 3).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      assert(got(t) ==
+        graft.ops.Dedup.minhashSignatureScala(t, 32, 3).toSeq,
+        s"mismatch for '$t'")
+    }
+    // short texts (< n tokens) yield the all-MaxValue sentinel signature
+    assert(got("x") == Seq.fill(32)(Long.MaxValue))
+    // the dedup signature path is UDF-free and codegen-participating
+    val plan = df.select(
+      graft.ops.Dedup.minhashSignature(col("text"), 32, 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash_sig"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+
   test("SQL registration via GraftExtensions.registerAll") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql("SELECT graft_simhash64('a b c') AS s").head.getLong(0)
