@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SimHash64, WordShingles}
+import graft.functions.{MinHashSig, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to pure-SQL users.
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       GraftExtensions.wordShinglesBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      GraftExtensions.minHashSigBuilder))
   }
 }
 
@@ -35,6 +39,8 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_shingles", wordShinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", minHashSigBuilder, "built-in")
   }
 
   /** `graft_word_shingles(text, n)` — the width must be a FOLDABLE
@@ -57,5 +63,26 @@ object GraftExtensions {
           s"(an integer literal or constant), got $other")
     }
     WordShingles(children.head, n)
+  }
+
+  /** `graft_minhash_sig(text, k, n)` — both widths must be foldable
+    * integer expressions (they parameterize the generated code). */
+  private[graft] def minHashSigBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_minhash_sig(text, k, n) takes exactly three arguments")
+    MinHashSig(children.head, foldableInt(children(1), "k"),
+      foldableInt(children(2), "n"))
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = e match {
+    case x if x.foldable &&
+        x.dataType == org.apache.spark.sql.types.IntegerType =>
+      val v = x.eval()
+      require(v != null, s"graft function: $name must not be null")
+      v.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"graft function: $name must be a foldable integer expression, " +
+        s"got $other")
   }
 }

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Bench-side exploded-shingle rows above which the broadcast hint is
+    * dropped (a 5M-row broadcast of short strings is ~hundreds of MB —
+    * past any sane `autoBroadcastJoinThreshold`). */
+  val MaxBroadcastShingles: Long = 5000000L
+
   /** Distinct word shingles per row — the native one-pass expression
     * ([[Dedup.distinctShingles]]), codegen'd into the scan projection. */
   private def withShingles(df: DataFrame, idCol: String, n: Int): DataFrame =
@@ -39,18 +44,32 @@ object Decontaminate {
       minRatio: Double = 0.0
   ): DataFrame = {
     val benchSets = withShingles(bench, "bench_id", shingleN)
+      .localCheckpoint() // shingled ONCE: reused by the size probe, the
+                         // broadcast decision, and the join below
     val dsh = withShingles(docs, "doc_id", shingleN)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bsh = benchSets
       .select(col("bench_id"), explode(col("sh")).as("shingle"))
     val benchSizes = benchSets
       .select(col("bench_id"), size(col("sh")).as("_bench_n"))
+    // the broadcast is a choice, not an assumption: a benchmark table is
+    // normally tiny, but a caller pointing this at a multi-million-row
+    // "benchmark" must not OOM the driver. Counting the exploded shingle
+    // rows costs one aggregate over the SMALL side; above the bound the
+    // hint is dropped and the join shuffles (AQE picks the strategy) —
+    // slower, never wrong.
+    val benchShingleRows = benchSets
+      .select(sum(size(col("sh")))).collect()(0)
+    val benchIsSmall = benchShingleRows.isNullAt(0) ||
+      benchShingleRows.getLong(0) <= MaxBroadcastShingles
+    val bshSide = if (benchIsSmall) broadcast(bsh) else bsh
     // shingles are distinct per doc AND per bench row, so each matched
     // (doc_id, bench_id, shingle) row is unique — count(*) IS the overlap
-    dsh.join(broadcast(bsh), Seq("shingle"))
+    dsh.join(bshSide, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
-      .join(broadcast(benchSizes), Seq("bench_id"))
+      .join(if (benchIsSmall) broadcast(benchSizes) else benchSizes,
+        Seq("bench_id"))
       // threshold on the RAW ratio — rounding first would misclassify
       // values within 5e-7 of the cut; the rounded form is display-only
       .where(col("n_overlap") >= minOverlap &&

@@ -100,6 +100,9 @@ class ExpressionSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("foldable integer"))
+    val mh = spark.sql("SELECT graft_minhash_sig('a b c d', 32, 3) AS s")
+      .head.getSeq[Long](0)
+    assert(mh == graft.ops.Dedup.minhashSignatureScala("a b c d", 32, 3).toSeq)
   }
 
   test("expandOccurrences explodes every literal occurrence (L2)") {
