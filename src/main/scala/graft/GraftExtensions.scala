@@ -51,18 +51,7 @@ object GraftExtensions {
       children: Seq[Expression]): Expression = {
     require(children.length == 2,
       "graft_word_shingles(text, n) takes exactly two arguments")
-    val nExpr = children(1)
-    val n = nExpr match {
-      case e if e.foldable &&
-          e.dataType == org.apache.spark.sql.types.IntegerType =>
-        val v = e.eval()
-        require(v != null, "graft_word_shingles: n must not be null")
-        v.asInstanceOf[Int]
-      case other => throw new IllegalArgumentException(
-        "graft_word_shingles: n must be a foldable integer expression " +
-          s"(an integer literal or constant), got $other")
-    }
-    WordShingles(children.head, n)
+    WordShingles(children.head, foldableInt(children(1), "n"))
   }
 
   /** `graft_minhash_sig(text, k, n)` — both widths must be foldable

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the benchmark side is SMALL by definition (eval sets are
   * thousands of rows, the corpus is 10^12), so its exploded distinct
-  * shingles are broadcast — the probe join is map-side, the corpus is
-  * never shuffled. The only shuffle is the per-(doc, bench) overlap count
+  * shingles are broadcast by default — the probe join is map-side, the
+  * corpus is never shuffled (`broadcastBench = false` drops the hint for
+  * oversized "benchmarks"; see [[Decontaminate.BroadcastShingleGuidance]]). The only shuffle is the per-(doc, bench) overlap count
   * over MATCHED shingle rows, which partially aggregates map-side and is
   * proportional to actual contamination, not corpus size. The final drop
   * is a left-anti join against the flagged id set (again small —
@@ -20,10 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Bench-side exploded-shingle rows above which the broadcast hint is
-    * dropped (a 5M-row broadcast of short strings is ~hundreds of MB —
-    * past any sane `autoBroadcastJoinThreshold`). */
-  val MaxBroadcastShingles: Long = 5000000L
+  /** Guidance bound for `broadcastBench`: beyond ~1M exploded shingle
+    * rows the forced broadcast materializes tens-to-hundreds of MB in
+    * the driver and every executor — disable the hint there and let AQE
+    * pick the join strategy from runtime sizes instead. */
+  val BroadcastShingleGuidance: Long = 1000000L
 
   /** Distinct word shingles per row — the native one-pass expression
     * ([[Dedup.distinctShingles]]), codegen'd into the scan projection. */
@@ -41,35 +43,29 @@ object Decontaminate {
       bench: DataFrame,
       shingleN: Int = 3,
       minOverlap: Int = 5,
-      minRatio: Double = 0.0
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true
   ): DataFrame = {
     val benchSets = withShingles(bench, "bench_id", shingleN)
-      .localCheckpoint() // shingled ONCE: reused by the size probe, the
-                         // broadcast decision, and the join below
     val dsh = withShingles(docs, "doc_id", shingleN)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bsh = benchSets
       .select(col("bench_id"), explode(col("sh")).as("shingle"))
     val benchSizes = benchSets
       .select(col("bench_id"), size(col("sh")).as("_bench_n"))
-    // the broadcast is a choice, not an assumption: a benchmark table is
-    // normally tiny, but a caller pointing this at a multi-million-row
-    // "benchmark" must not OOM the driver. Counting the exploded shingle
-    // rows costs one aggregate over the SMALL side; above the bound the
-    // hint is dropped and the join shuffles (AQE picks the strategy) —
-    // slower, never wrong.
-    val benchShingleRows = benchSets
-      .select(sum(size(col("sh")))).collect()(0)
-    val benchIsSmall = benchShingleRows.isNullAt(0) ||
-      benchShingleRows.getLong(0) <= MaxBroadcastShingles
-    val bshSide = if (benchIsSmall) broadcast(bsh) else bsh
+    // the broadcast is the caller's declaration that the benchmark side
+    // is eval-set-sized (see BroadcastShingleGuidance) — this stays a
+    // PURE plan builder (no jobs at construction), so the choice is a
+    // parameter, not a measured collect; with it off the join shuffles
+    // and AQE picks the strategy from runtime sizes — slower, never wrong
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastBench) broadcast(df) else df
     // shingles are distinct per doc AND per bench row, so each matched
     // (doc_id, bench_id, shingle) row is unique — count(*) IS the overlap
-    dsh.join(bshSide, Seq("shingle"))
+    dsh.join(hint(bsh), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_overlap"))
-      .join(if (benchIsSmall) broadcast(benchSizes) else benchSizes,
-        Seq("bench_id"))
+      .join(hint(benchSizes), Seq("bench_id"))
       // threshold on the RAW ratio — rounding first would misclassify
       // values within 5e-7 of the cut; the rounded form is display-only
       .where(col("n_overlap") >= minOverlap &&

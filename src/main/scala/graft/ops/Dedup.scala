@@ -72,7 +72,10 @@ object Dedup {
     * distributed path (no UDF, no String materialization; the historical
     * Scala-UDF form is gone — it boxed every row through an encoder and
     * broke WholeStageCodegen at the projection). This scalar form is the
-    * driver/test-side reference, bit-identical to the expression. */
+    * driver/test-side reference, bit-identical to the expression for
+    * NON-NULL input; on null the expression follows SQL semantics (NULL
+    * out, `UnaryExpression` convention) while this scalar returns the
+    * all-MaxValue sentinel. */
   def minhashSignatureScala(text: String, k: Int, n: Int): Array[Long] = {
     if (text == null) return Array.fill(k)(Long.MaxValue)
     graft.functions.MinHashSig.computeBytes(text.getBytes("UTF-8"), k, n)

@@ -67,10 +67,24 @@ object SignatureStore {
       .parquet(s"$path/shingles")
     // the partition modulus is part of the layout contract: a probe with
     // a different P computes prefixes that miss the written partitions,
-    // so P travels WITH the store, never as a caller-remembered argument
-    writeMeta(spark, path,
-      s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,"shingleN":$shingleN}""")
+    // so P travels WITH the store, never as a caller-remembered argument.
+    // sigVersion pins the HASH ALGORITHM itself — band hashes from a
+    // different signature implementation never collide with recomputed
+    // batch hashes, so a version drift would silently admit every
+    // near-duplicate; readMeta refuses loudly instead.
+    writeMeta(spark, path, metaJson(nPrefixes, k, bands, shingleN))
   }
+
+  /** Version of the signature hash function persisted in band keys.
+    * 2 = byte-level FNV-1a over UTF-8 ([[graft.functions.MinHashSig]]);
+    * 1 was the historical char-level Scala UDF. Bump whenever the hash
+    * bits change — stores must be re-ingested, not silently probed. */
+  val SigVersion: Int = 2
+
+  private def metaJson(nPrefixes: Int, k: Int, bands: Int,
+      shingleN: Int): String =
+    s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,""" +
+      s""""shingleN":$shingleN,"sigVersion":$SigVersion}"""
 
   /** Incremental probe: verified near-dup pairs `(id1, id2, jaccard)`
     * between `batch(doc_id, text)` and the store, PLUS pairs within the
@@ -214,7 +228,7 @@ object SignatureStore {
       .write.mode("append").partitionBy("doc_pfx")
       .parquet(s"$path/shingles")
     writeMeta(spark, path,
-      s"""{"nPrefixes":${m.nPrefixes},"k":${m.k},"bands":${m.bands},"shingleN":${m.shingleN}}""")
+      metaJson(m.nPrefixes, m.k, m.bands, m.shingleN))
   }
 
   private final case class Meta(nPrefixes: Int, k: Int, bands: Int,
@@ -255,6 +269,14 @@ object SignatureStore {
       require(m.isDefined, s"malformed $p (missing $name): $json")
       m.get.group(1).toInt
     }
+    val version =
+      (""""sigVersion"\s*:\s*(\d+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(1)
+    require(version == SigVersion,
+      s"$p was written with signature version $version, this engine " +
+        s"computes version $SigVersion — band hashes from different " +
+        "versions never collide, so probing would silently admit every " +
+        "near-duplicate. Re-ingest the store with SignatureStore.write.")
     Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"))
   }
 }

@@ -59,6 +59,22 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  test("MinHashSig golden vectors: the persisted-store hash bits are frozen") {
+    // Pinned LITERAL signatures (sigVersion 2, byte-level FNV-1a + splitmix
+    // lanes). A refactor changing ANY bit invalidates every persisted
+    // signature store — this test fails before that ships silently. The
+    // scalar/expression parity test below cannot catch it: both sides
+    // share the implementation.
+    assert(graft.ops.Dedup.minhashSignatureScala("a b c d", 8, 3).toSeq ==
+      Seq(-7527774262517465797L, -5648662696977092344L,
+        -3266088934761384696L, -561923584402119555L, 1331966423886713835L,
+        -6766897350310455657L, -6285090614558246580L, 1461944798984329798L))
+    assert(graft.ops.Dedup
+      .minhashSignatureScala("déjà vu über alles ok", 4, 2).toSeq ==
+      Seq(-6838320596913052328L, -8663087270482914889L,
+        -6560083771308102888L, -1916953010297927134L))
+  }
+
   test("native MinHashSig expression: parity with the scalar form, codegen'd, no UDF") {
     import spark.implicits._
     val texts = Seq("a b c d e f", "", "x", "a b", "w1 w2 w3 w4 w5",

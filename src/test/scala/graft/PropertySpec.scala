@@ -58,6 +58,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // --- MinHash vs an independent straight-line reference ----------------
+
+  /** Independent reimplementation of the sigVersion-2 spec (FNV-1a over
+    * each shingle STRING's UTF-8 bytes + splitmix lanes) built on the
+    * split/slice shingle reference — different code shape (string-level,
+    * collection combinators) than the offset-arithmetic production kernel,
+    * so boundary off-by-ones cannot cancel out across both. */
+  private def refMinHash(text: String, k: Int, n: Int): Seq[Long] = {
+    def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val toks = text.split(" ", -1).toSeq
+    val shingles =
+      if (toks.length < n) Seq.empty[String]
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    shingles.foreach { s =>
+      val h0 = s.getBytes("UTF-8").foldLeft(0xCBF29CE484222325L)(
+        (h, b) => (h ^ (b & 0xFFL)) * 0x100000001B3L)
+      val h = mix(h0)
+      (0 until k).foreach { j =>
+        val hj = mix(h ^ (j * 0x9E3779B97F4A7C15L))
+        if (hj < sig(j)) sig(j) = hj
+      }
+    }
+    sig.toSeq
+  }
+
+  test("property: MinHashSig ≡ independent string-level reference (exact bits)") {
+    samples(Gen.zip(textGen, Gen.oneOf(4, 32), Gen.choose(1, 4)), 300)
+      .foreach { case (text, k, n) =>
+        assert(graft.ops.Dedup.minhashSignatureScala(text, k, n).toSeq ==
+          refMinHash(text, k, n), s"text='$text' k=$k n=$n")
+      }
+  }
+
   // --- MinHash jaccard estimation --------------------------------------
 
   test("property: MinHash lane agreement estimates true shingle jaccard (seeded)") {
