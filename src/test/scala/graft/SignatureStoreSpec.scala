@@ -158,6 +158,31 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(batchPath.count() == 0)
   }
 
+  test("probe refuses a store written with a different signature version") {
+    import spark.implicits._
+    val corpus = (0L until 10L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore5").toString
+    SignatureStore.write(corpus, path, nPrefixes = 8)
+    // simulate a store from the historical char-level hash (version 1);
+    // drop the Hadoop LocalFileSystem checksum sidecar the raw edit
+    // invalidates
+    val meta = java.nio.file.Paths.get(s"$path/_store_meta.json")
+    val json = java.nio.file.Files.readString(meta)
+    java.nio.file.Files.writeString(meta,
+      json.replace(s""""sigVersion":${SignatureStore.SigVersion}""",
+        """"sigVersion":1"""))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/._store_meta.json.crc"))
+    val batch = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, batch).count()
+    }
+    assert(e.getMessage.contains("signature version"))
+  }
+
   test("probe refuses a path without store metadata") {
     import spark.implicits._
     val batch = Seq((1L, "a b c d e")).toDF("doc_id", "text")
