@@ -36,13 +36,17 @@ object HostCalibration {
   }
 
   def main(args: Array[String]): Unit = {
-    // (a) pure ALU: per-unit throughput at 8 vs 32 threads
+    // thread/core pair under calibration (defaults match the main ladder)
+    val lo = if (args.length >= 2) args(1).toInt else 8
+    val hi = if (args.length >= 3) args(2).toInt else 32
+    val ratio = hi.toDouble / lo
+    // (a) pure ALU: per-unit throughput at lo vs hi threads
     aluWall(4) // warm
-    val w8 = aluWall(8)
-    val w32 = aluWall(32)
-    // units/s = threads*2 / wall; efficiency of the 4x step:
-    val aluEff = ((32 * 2 / w32) / (8 * 2 / w8)) / 4.0
-    println(f"CALIB alu: 8thr ${8 * 2 / w8}%.2f units/s, 32thr ${32 * 2 / w32}%.2f units/s, 8->32 efficiency ${aluEff}%.3f")
+    val wLo = aluWall(lo)
+    val wHi = aluWall(hi)
+    // units/s = threads*2 / wall; efficiency of the step:
+    val aluEff = ((hi * 2 / wHi) / (lo * 2 / wLo)) / ratio
+    println(f"CALIB alu: ${lo}thr ${lo * 2 / wLo}%.2f units/s, ${hi}thr ${hi * 2 / wHi}%.2f units/s, $lo->$hi efficiency ${aluEff}%.3f")
 
     // (b) parquet text decode at 8 vs 32 cores (warm floors, 3 reps each)
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft_scaling_corpus_20000000"
@@ -64,8 +68,8 @@ object HostCalibration {
         }.min
       } finally spark.stop()
     }
-    val d8 = decodeFloor(8)
-    val d32 = decodeFloor(32)
-    println(f"CALIB parquet decode: 8c ${d8}%.2f s, 32c ${d32}%.2f s, 8->32 efficiency ${(d8 / d32) / 4.0}%.3f")
+    val dLo = decodeFloor(lo)
+    val dHi = decodeFloor(hi)
+    println(f"CALIB parquet decode: ${lo}c ${dLo}%.2f s, ${hi}c ${dHi}%.2f s, $lo->$hi efficiency ${(dLo / dHi) / ratio}%.3f")
   }
 }
