@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   *  - the per-round aggregate is `min(label)` per node — partially
   *    aggregable, so Reuters-scale hub nodes (millions of incident edges)
   *    combine map-side before the shuffle; skew does not concentrate;
-  *  - each round materializes ONE lazy `localCheckpoint`, triggered by the
-  *    same action that tests convergence — one Spark job per round total
-  *    (the round-1 loop ran three: propagation checkpoint, shortcut
-  *    checkpoint, and a convergence join), and lineage is cut each round
-  *    (unbounded plan growth is the classic failure of DataFrame loops —
-  *    doubly so here, where the shortcut self-join would double the plan
-  *    every round);
+  *  - each round runs ONE Spark job (the convergence count; the round-1
+  *    loop ran three: propagation checkpoint, shortcut checkpoint, and a
+  *    convergence join), and lineage is cut each round via a lazy
+  *    `localCheckpoint` (unbounded plan growth is the classic failure of
+  *    DataFrame loops — doubly so here, where the shortcut self-join
+  *    would double the plan every round). The DURABLE per-round state is
+  *    the compact `(node, component)` projection only — the convergence
+  *    column `_old` lives in a transient per-round cache that is freed
+  *    one round later (a third less checkpoint payload at 10^9 nodes);
   *  - the edge table is materialized once (symmetric, deduped) and reused
   *    every round — one shuffle per round on `node`.
   *
@@ -96,6 +98,17 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    // the per-round wide frame (node, _old, component) is CACHED, not
+    // checkpointed: `_old` exists only for the convergence count, so
+    // persisting it in every round's checkpoint inflated the durable
+    // per-round state by a third at 10^9-node scale (round-4 verdict #8).
+    // The round's one action (the changed count) materializes the cache;
+    // the compact (node, component) projection is what the lazy
+    // checkpoint persists — it materializes FROM the cache when the next
+    // round (or the terminal force below) first reads it, and the cache
+    // is released one round later, so at any moment only ONE transient
+    // wide copy exists next to the compact durable chain.
+    var prevWide: Option[DataFrame] = None
     while (iter < maxIter && !converged) {
       // pointer doubling FIRST, against the checkpointed label table (both
       // branches of the self-join read materialized data, so no extra
@@ -110,23 +123,34 @@ object ConnectedComponents {
         .join(compressed.select(col("node").as("b"), col("component")), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("component")).as("nbrMin"))
-      // lazy checkpoint: the convergence count below is the ONE action of
-      // the round — it materializes the new label table and answers
-      // "did anything change" in the same job. `_old` is the pre-round
-      // label, so `changed == 0` means compression AND propagation are
-      // both at fixpoint.
-      val next = compressed
+      // `_old` is the pre-round label, so `changed == 0` means
+      // compression AND propagation are both at fixpoint
+      val wide = compressed
         .join(proposals, Seq("node"), "left")
         .select(
           col("node"),
           col("_old"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
             .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = wide.where(col("component") =!= col("_old")).count()
+      val next = wide.select(col("node"), col("component"))
         .localCheckpoint(eager = false)
-      val changed = next.where(col("component") =!= col("_old")).count()
-      labels = next.select(col("node"), col("component"))
+      // the previous round's wide cache fed exactly one consumer — the
+      // checkpoint of THAT round's projection, materialized by the count
+      // that just ran — so it is dead now
+      prevWide.foreach(_.unpersist(false))
+      prevWide = Some(wide)
+      labels = next
       converged = changed == 0
       iter += 1
+    }
+    // materialize the final compact checkpoint out of the last wide cache
+    // (one cache-read job), then release the cache — callers see fully
+    // materialized (node, component) state and no lingering wide copy
+    if (prevWide.isDefined) {
+      labels.count()
+      prevWide.foreach(_.unpersist(false))
     }
     (labels, iter)
   }

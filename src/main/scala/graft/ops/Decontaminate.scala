@@ -24,8 +24,28 @@ object Decontaminate {
   /** Guidance bound for `broadcastBench`: beyond ~1M exploded shingle
     * rows the forced broadcast materializes tens-to-hundreds of MB in
     * the driver and every executor — disable the hint there and let AQE
-    * pick the join strategy from runtime sizes instead. */
+    * pick the join strategy from runtime sizes instead.
+    * [[broadcastBenchHint]] is the checked form of this guidance. */
   val BroadcastShingleGuidance: Long = 1000000L
+
+  /** Checked broadcast decision: counts the benchmark's exploded distinct
+    * shingles ONCE (one job over the bench table — small by definition;
+    * deliberately not run inside the report builders, which stay pure
+    * plan constructors) and refuses the broadcast hint above `bound`.
+    * Callers who don't know their benchmark's size pass the result as
+    * `broadcastBench` instead of guessing:
+    * `contaminationReport(docs, bench, broadcastBench =
+    * broadcastBenchHint(bench))`. */
+  def broadcastBenchHint(
+      bench: DataFrame,
+      shingleN: Int = 3,
+      bound: Long = BroadcastShingleGuidance
+  ): Boolean = {
+    val n = bench
+      .select(explode(Dedup.distinctShingles(col("text"), shingleN)))
+      .count()
+    n <= bound
+  }
 
   /** Distinct word shingles per row — the native one-pass expression
     * ([[Dedup.distinctShingles]]), codegen'd into the scan projection. */
@@ -74,14 +94,20 @@ object Decontaminate {
         round(col("n_overlap") / col("_bench_n"), 6).as("overlap_ratio"))
   }
 
-  /** Flagged corpus ids: documents contaminated by ANY benchmark row. */
+  /** Flagged corpus ids: documents contaminated by ANY benchmark row.
+    * All of [[contaminationReport]]'s gates thread through — the
+    * containment-ratio threshold is usable in the transform path, not
+    * only the report. */
   def contaminatedIds(
       docs: DataFrame,
       bench: DataFrame,
       shingleN: Int = 3,
-      minOverlap: Int = 5
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true
   ): DataFrame =
-    contaminationReport(docs, bench, shingleN, minOverlap)
+    contaminationReport(docs, bench, shingleN, minOverlap, minRatio,
+      broadcastBench)
       .select(col("doc_id")).distinct()
 
   /** Decontaminate as a corpus TRANSFORM: the input rows minus every
@@ -90,8 +116,12 @@ object Decontaminate {
       docs: DataFrame,
       bench: DataFrame,
       shingleN: Int = 3,
-      minOverlap: Int = 5
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true
   ): DataFrame =
-    docs.join(contaminatedIds(docs, bench, shingleN, minOverlap),
+    docs.join(
+      contaminatedIds(docs, bench, shingleN, minOverlap, minRatio,
+        broadcastBench),
       Seq("doc_id"), "left_anti")
 }

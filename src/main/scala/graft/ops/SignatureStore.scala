@@ -110,8 +110,8 @@ object SignatureStore {
 
   /** As [[probe]], additionally returning the batch's checkpointed band
     * keys and shingle sets — callers that go on to [[appendSignatures]]
-    * (the streaming loop) reuse them instead of paying the signature UDF
-    * a second time over the survivors. */
+    * (the streaming loop) reuse them instead of paying the signature
+    * expression a second time over the survivors. */
   def probeWithSignatures(
       spark: SparkSession,
       path: String,
@@ -122,8 +122,9 @@ object SignatureStore {
     val m = readMeta(spark, path)
     val (k, bands, shingleN) = (m.k, m.bands, m.shingleN)
     // batch-side keys and shingles: batch-sized, computed ONCE (the
-    // signature UDF is the dominant per-row cost — the checkpointed keys
-    // feed both the prefix collect and the unified pair stage below)
+    // native MinHashSig expression is the dominant per-row cost — the
+    // checkpointed keys feed both the prefix collect and the unified
+    // pair stage below)
     val bKeys = Dedup.bandedSignatures(batch, k, bands, shingleN)
       .localCheckpoint()
     val bSh = Dedup.distinctShingleSets(batch, shingleN).localCheckpoint()

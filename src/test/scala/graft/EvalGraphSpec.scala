@@ -241,6 +241,60 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(labels.length == 12)
   }
 
+  test("CC durable per-round state is the compact (node, component) payload") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // graph with several rounds (chain of 1024) + bulk nodes (disjoint
+    // pairs) so the per-round label payload dominates the edge table
+    val m = 20000
+    val chain = (0L until 1024L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val pairs = (0 until m).map(i => (100000L + 2 * i, 100001L + 2 * i))
+    val edges = (chain ++ pairs).toDF("src", "dst")
+    val nNodes = 1024L + 2L * m
+    val nSymRows = 2L * (1023L + m)
+
+    // self-calibration: measure what THIS JVM's block manager charges for
+    // an n-row 2-col vs 3-col checkpointed label frame, so the assertion
+    // is layout-independent (deserialized block sizes include JVM object
+    // overhead that no constant can pin down)
+    def newlyPersistedBytes[T](f: => T): (T, Long) = {
+      val before = sc.getRDDStorageInfo.map(_.id).toSet
+      val r = f
+      val after = sc.getRDDStorageInfo.filterNot(i => before(i.id))
+      (r, after.map(i => i.memSize + i.diskSize).sum)
+    }
+    val calRows = 100000L
+    val (_, b2) = newlyPersistedBytes {
+      spark.range(calRows).select(col("id").as("node"),
+        col("id").as("component")).localCheckpoint().count()
+    }
+    val (_, b3) = newlyPersistedBytes {
+      spark.range(calRows).select(col("id").as("node"),
+        col("id").as("_old"), col("id").as("component"))
+        .localCheckpoint().count()
+    }
+    val perRow2 = b2.toDouble / calRows
+    val perRow3 = b3.toDouble / calRows
+    assert(perRow3 > perRow2, s"calibration degenerate: $perRow3 vs $perRow2")
+
+    val ((labels, rounds), measured) = newlyPersistedBytes {
+      ConnectedComponents.runCounted(edges)
+    }
+    assert(labels.count() == nNodes)
+    assert(rounds >= 3, s"fixture too shallow for the payload assertion: $rounds")
+    // durable state: sym (2-col) + initial labels + one compact frame per
+    // round. If any round still persisted the 3-col wide frame (the _old
+    // payload, or a leaked un-unpersisted cache), the total lands at the
+    // 3-col estimate instead — assert we sit on the compact side of the
+    // midpoint.
+    val compact = perRow2 * (nSymRows + (rounds + 1) * nNodes)
+    val ifWide = perRow2 * (nSymRows + nNodes) + perRow3 * rounds * nNodes
+    info(f"measured=$measured compact=$compact%.0f ifWide=$ifWide%.0f rounds=$rounds")
+    assert(measured < (compact + ifWide) / 2,
+      f"persisted $measured bytes — expected ~$compact%.0f for compact " +
+        f"(node, component) rounds, ~$ifWide%.0f if _old were persisted")
+  }
+
   test("CC on names: dictionary keys never collide (distinct nodes stay distinct)") {
     import spark.implicits._
     // 5k disjoint string-keyed pairs across 16 partitions; any key

@@ -109,6 +109,29 @@ class OpsSpec extends AnyFunSuite {
       .decontaminate(d, bench, shingleN = 3, minOverlap = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
+    // the ratio gate threads to the TRANSFORM path too: at minRatio 0.9
+    // only the fully-contained doc 1 drops, the 0.5-containment doc 2
+    // survives even with minOverlap = 1
+    val keptRatio = graft.ops.Decontaminate
+      .decontaminate(d, bench, shingleN = 3, minOverlap = 1, minRatio = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptRatio == Set(2L, 3L))
+    // ...and the forced-broadcast off-switch produces the same transform
+    val keptNoBc = graft.ops.Decontaminate
+      .decontaminate(d, bench, shingleN = 3, minOverlap = 5,
+        broadcastBench = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoBc == kept)
+  }
+
+  test("broadcastBenchHint counts bench shingles and refuses above the bound") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")), // 10 distinct 3-shingles
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "))) // 10 more
+      .toDF("bench_id", "text")
+    assert(graft.ops.Decontaminate.broadcastBenchHint(bench, 3, bound = 20))
+    assert(!graft.ops.Decontaminate.broadcastBenchHint(bench, 3, bound = 19))
   }
 
   test("simhash: identical texts share signature, near-identical are close") {
