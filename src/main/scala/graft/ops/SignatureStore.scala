@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 /** Incremental near-dup dedup against a PERSISTED signature store — the
   * IVF-physical-layout move ([[Ann.writeIvfLayout]]) applied to MinHash:
   * band keys and distinct shingle sets are written once at ingest with a
@@ -34,6 +36,25 @@ import org.apache.spark.sql.functions._
   * the batch path `jaccardVerify(lshCandidatePairs(old ∪ batch))` emits,
   * including on degenerate buckets where the cap bites (spec-asserted on
   * planted fixtures).
+  *
+  * Monotone-ingest contract (ENFORCED): batch doc_ids must be strictly
+  * larger than every id already in the store. Keep-min-representative
+  * consumers ([[graft.streaming.StreamingKg.nearDupDedupStream]]) rely on
+  * it — a batch id below a stored one would make the stored near-dup the
+  * non-representative, silently retaining both documents. The store's
+  * metadata carries the max ingested doc_id; [[probe]] and
+  * [[appendSignatures]] refuse loudly on violation, like the
+  * signature-version check.
+  *
+  * Append durability: [[appendSignatures]] stages the new band/shingle
+  * files in a side directory FIRST (the live store stays fully valid and
+  * probeable the whole time), writes a commit journal, and only then
+  * opens the commit window (metadata delete → staged-file renames →
+  * metadata rewrite). A crash anywhere after the journal is repairable:
+  * [[recover]] replays the remaining renames idempotently and restores
+  * the metadata — no corpus re-ingest. A crash BEFORE the journal leaves
+  * the live store untouched. [[compact]] uses the same journaled
+  * discipline with whole-directory swaps.
   */
 object SignatureStore {
 
@@ -44,7 +65,9 @@ object SignatureStore {
     * Failure discipline: the metadata file is DELETED first and rewritten
     * only after both data writes succeed, so a mid-write crash leaves a
     * store with no metadata — [[probe]]/[[append]] then refuse LOUDLY
-    * instead of silently probing new partitions with stale parameters. */
+    * instead of silently probing new partitions with stale parameters.
+    * (`write` is the full ingest; unlike an append there is no cheaper
+    * recovery than re-running it.) */
   def write(
       docs: DataFrame,
       path: String,
@@ -54,6 +77,10 @@ object SignatureStore {
       shingleN: Int = 3
   ): Unit = {
     val spark = docs.sparkSession
+    // the ingest watermark for the monotone-id contract: one extra
+    // doc_id-column-only pass next to the two full signature passes
+    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+    val maxDocId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
     deleteMeta(spark, path)
     Dedup.bandedSignatures(docs, k, bands, shingleN)
       .withColumn("bh_pfx", pmod(col("bh"), lit(nPrefixes.toLong)))
@@ -72,7 +99,7 @@ object SignatureStore {
     // different signature implementation never collide with recomputed
     // batch hashes, so a version drift would silently admit every
     // near-duplicate; readMeta refuses loudly instead.
-    writeMeta(spark, path, metaJson(nPrefixes, k, bands, shingleN))
+    writeMeta(spark, path, metaJson(nPrefixes, k, bands, shingleN, maxDocId))
   }
 
   /** Version of the signature hash function persisted in band keys.
@@ -82,9 +109,10 @@ object SignatureStore {
   val SigVersion: Int = 2
 
   private def metaJson(nPrefixes: Int, k: Int, bands: Int,
-      shingleN: Int): String =
+      shingleN: Int, maxDocId: Long): String =
     s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,""" +
-      s""""shingleN":$shingleN,"sigVersion":$SigVersion}"""
+      s""""shingleN":$shingleN,"sigVersion":$SigVersion,""" +
+      s""""maxDocId":$maxDocId}"""
 
   /** Incremental probe: verified near-dup pairs `(id1, id2, jaccard)`
     * between `batch(doc_id, text)` and the store, PLUS pairs within the
@@ -96,8 +124,9 @@ object SignatureStore {
     * banding differently than ingest silently misses every pair.
     *
     * `maxBucket` caps collisions per (band, bh) bucket exactly like the
-    * batch path (boilerplate guard). Batch doc_ids must be disjoint from
-    * stored ones.
+    * batch path (boilerplate guard). Batch doc_ids must be strictly
+    * larger than all stored ones (checked against the store's ingest
+    * watermark — see the monotone-ingest contract above).
     */
   def probe(
       spark: SparkSession,
@@ -128,6 +157,20 @@ object SignatureStore {
     val bKeys = Dedup.bandedSignatures(batch, k, bands, shingleN)
       .localCheckpoint()
     val bSh = Dedup.distinctShingleSets(batch, shingleN).localCheckpoint()
+
+    // monotone-ingest guard, off the checkpointed batch-sized table (no
+    // extra lineage run): a batch id at or below the stored watermark
+    // breaks keep-min-representative semantics downstream
+    val minRow = bSh.agg(min(col("doc_id"))).collect()(0)
+    if (!minRow.isNullAt(0)) {
+      val minId = minRow.getLong(0)
+      require(minId > m.maxDocId,
+        s"batch min doc_id $minId <= the store's max ingested doc_id " +
+          s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
+          "monotone ingest ids (keep-min representatives assume stored " +
+          "ids are smaller than batch ids). Re-number the batch or " +
+          "rebuild the store.")
+    }
 
     // 1. band partitions the batch can possibly collide into: ≤ nPrefixes
     //    literal values — a driver-side collect bounded by the partition
@@ -198,9 +241,16 @@ object SignatureStore {
     * survivors so the NEXT batch dedups against them too). Band keys and
     * shingle sets are derived with the store's own metadata parameters
     * and appended into the existing prefix partitions. */
-  def append(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, batch: DataFrame): Unit =
+    if (stageAppendBatch(spark, path, batch)) commitStaged(spark, path)
+
+  /** [[stageAppend]] with the frames derived from the store's own
+    * parameters (the [[append]] front half) — package-visible so specs
+    * can simulate a crash between staging and commit. */
+  private[graft] def stageAppendBatch(spark: SparkSession, path: String,
+      batch: DataFrame): Boolean = {
     val m = readMeta(spark, path)
-    appendSignatures(spark, path,
+    stageAppend(spark, path,
       Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN),
       Dedup.distinctShingleSets(batch, m.shingleN))
   }
@@ -209,37 +259,179 @@ object SignatureStore {
     * store's own parameters — e.g. the frames [[probeWithSignatures]]
     * returns, filtered to the surviving doc_ids).
     *
-    * Same failure discipline as [[write]]: the metadata is removed before
-    * the data appends and restored after both succeed, so a crash between
-    * the two appends leaves a meta-less store that probes REFUSE loudly —
-    * a valid-looking store whose band rows lack shingle sets would
-    * instead silently drop every pair those rows produce. */
+    * Failure discipline (see the object scaladoc): the new files are
+    * written into a staging directory while the live store — metadata
+    * included — stays untouched and probeable; a journal records the
+    * commit plan; then the commit window (metadata delete → renames →
+    * metadata rewrite) is pure fast file moves, replayable by
+    * [[recover]] after a crash. */
   def appendSignatures(spark: SparkSession, path: String,
       banded: DataFrame, shingleSets: DataFrame): Unit = {
+    if (stageAppend(spark, path, banded, shingleSets)) commitStaged(spark, path)
+  }
+
+  /** First half of [[appendSignatures]]: the guard, the staged writes,
+    * and the journal. Returns false (and stages nothing) for an empty
+    * batch. Package-private so specs can simulate a crash between
+    * staging and commit. */
+  private[graft] def stageAppend(spark: SparkSession, path: String,
+      banded: DataFrame, shingleSets: DataFrame): Boolean = {
     val m = readMeta(spark, path)
-    deleteMeta(spark, path)
+    require(!journalPath(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(journalPath(path)),
+      s"$path has an unfinished staged commit (${journalPath(path)}) — " +
+        "run SignatureStore.recover first")
+    // monotone-ingest guard + the new watermark, one batch-sized job
+    val r = shingleSets
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .collect()(0)
+    if (r.isNullAt(0)) return false
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    require(mn > m.maxDocId,
+      s"append batch min doc_id $mn <= the store's max ingested doc_id " +
+        s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
+        "monotone ingest ids. Re-number the batch or rebuild the store.")
+    val token = newToken()
+    val staging = s"$path/$StagingPrefix$token"
     banded.select(col("doc_id"), col("band"), col("bh"))
       .withColumn("bh_pfx", pmod(col("bh"), lit(m.nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
-      .write.mode("append").partitionBy("bh_pfx")
-      .parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("bh_pfx")
+      .parquet(s"$staging/bands")
     shingleSets.select(col("doc_id"), col("sh"))
       .withColumn("doc_pfx", pmod(col("doc_id"), lit(m.nPrefixes.toLong)))
       .repartition(col("doc_pfx"))
-      .write.mode("append").partitionBy("doc_pfx")
-      .parquet(s"$path/shingles")
-    writeMeta(spark, path,
-      metaJson(m.nPrefixes, m.k, m.bands, m.shingleN))
+      .write.mode("overwrite").partitionBy("doc_pfx")
+      .parquet(s"$staging/shingles")
+    val newMeta = metaJson(m.nPrefixes, m.k, m.bands, m.shingleN,
+      math.max(m.maxDocId, mx))
+    writeJournal(spark, path,
+      s"""{"op":"append","token":"$token","meta":$newMeta}""")
+    true
+  }
+
+  /** Replay/execute the journaled commit: metadata delete, staged-file
+    * renames (idempotent — a file already moved is skipped; an already-
+    * swapped directory is recognized), metadata rewrite, cleanup. Driven
+    * entirely by the journal so [[recover]] can call it after a crash at
+    * ANY point past the journal write. */
+  private[graft] def commitStaged(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val j = readJournal(spark, path)
+    val staging = new Path(s"$path/$StagingPrefix${j.token}")
+    deleteMeta(spark, path)
+    j.op match {
+      case "append" =>
+        Seq("bands", "shingles").foreach { table =>
+          moveStagedFilesIn(f, new Path(staging, table),
+            new Path(s"$path/$table"))
+        }
+      case "replace" =>
+        val trash = new Path(s"$path/_trash_${j.token}")
+        f.mkdirs(trash)
+        Seq("bands", "shingles").foreach { table =>
+          val staged = new Path(staging, table)
+          val live = new Path(s"$path/$table")
+          // idempotent swap: if the staged dir still exists, `live` (if
+          // present) is the OLD table — move it aside and swap in; if the
+          // staged dir is gone, this table was already swapped
+          if (f.exists(staged)) {
+            if (f.exists(live))
+              require(f.rename(live, new Path(trash, table)),
+                s"rename $live -> $trash failed")
+            require(f.rename(staged, live), s"rename $staged -> $live failed")
+          }
+        }
+        f.delete(trash, true)
+      case other => sys.error(s"unknown journal op '$other' in $path")
+    }
+    writeMeta(spark, path, j.meta)
+    f.delete(staging, true)
+    f.delete(journalPath(path), false)
+  }
+
+  /** Repair a store whose staged commit was interrupted: if a commit
+    * journal exists, replay the commit to completion and return true;
+    * otherwise the store needs no recovery (false). After recover the
+    * store contains the staged batch and valid metadata — no re-ingest. */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    if (!f.exists(journalPath(path))) false
+    else { commitStaged(spark, path); true }
+  }
+
+  /** Rewrite both tables into one file per prefix partition — the
+    * small-file compaction a long-running append loop (one file per
+    * touched partition per micro-batch) eventually needs. Same journaled
+    * commit discipline as [[appendSignatures]]: the compacted tables are
+    * staged while the live store stays valid, then swapped in whole-
+    * directory renames replayable by [[recover]]. Probe results are
+    * unchanged (spec-asserted). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val m = readMeta(spark, path)
+    require(!journalPath(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(journalPath(path)),
+      s"$path has an unfinished staged commit — run recover first")
+    val token = newToken()
+    val staging = s"$path/$StagingPrefix$token"
+    spark.read.parquet(s"$path/bands")
+      .repartition(col("bh_pfx"))
+      .write.mode("overwrite").partitionBy("bh_pfx")
+      .parquet(s"$staging/bands")
+    spark.read.parquet(s"$path/shingles")
+      .repartition(col("doc_pfx"))
+      .write.mode("overwrite").partitionBy("doc_pfx")
+      .parquet(s"$staging/shingles")
+    writeJournal(spark, path,
+      s"""{"op":"replace","token":"$token","meta":${metaJson(
+        m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)}}""")
+    commitStaged(spark, path)
+  }
+
+  private val StagingPrefix = "_staging_"
+
+  /** Unique-enough commit token: wall clock + pid (single-writer store —
+    * concurrent appends to one store are out of contract). */
+  private def newToken(): String =
+    s"${System.currentTimeMillis()}_${ProcessHandle.current().pid()}"
+
+  /** Move every staged data file into the live partition tree. Renames
+    * only; idempotent (replayable after a crash mid-move): Spark part-
+    * file names are globally unique, so an existing target means THIS
+    * file was already moved. */
+  private def moveStagedFilesIn(f: FileSystem, stagedTable: Path,
+      liveTable: Path): Unit = {
+    if (!f.exists(stagedTable)) return // already fully moved + cleaned
+    f.listStatus(stagedTable).foreach { part =>
+      val name = part.getPath.getName
+      if (part.isDirectory && name.contains("=")) {
+        val target = new Path(liveTable, name)
+        f.mkdirs(target)
+        f.listStatus(part.getPath).foreach { file =>
+          val fn = file.getPath.getName
+          if (!fn.startsWith("_") && !fn.startsWith(".")) {
+            val t = new Path(target, fn)
+            if (!f.exists(t))
+              require(f.rename(file.getPath, t),
+                s"rename ${file.getPath} -> $t failed")
+          }
+        }
+      }
+    }
   }
 
   private final case class Meta(nPrefixes: Int, k: Int, bands: Int,
-      shingleN: Int)
+      shingleN: Int, maxDocId: Long)
+
+  private final case class Journal(op: String, token: String, meta: String)
 
   // metadata goes through the Hadoop filesystem of the store path — the
   // same filesystem the parquet tables live on — so the store works on
   // hdfs://, s3a://, and shared mounts, not just the driver's local disk
   private def metaPath(path: String) =
-    new org.apache.hadoop.fs.Path(s"$path/_store_meta.json")
+    new Path(s"$path/_store_meta.json")
+  private def journalPath(path: String) =
+    new Path(s"$path/_commit_journal.json")
   private def fs(spark: SparkSession, path: String) =
     metaPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -252,6 +444,29 @@ object SignatureStore {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  private def writeJournal(spark: SparkSession, path: String,
+      json: String): Unit = {
+    val out = fs(spark, path).create(journalPath(path), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readJournal(spark: SparkSession, path: String): Journal = {
+    val f = fs(spark, path)
+    val in = f.open(journalPath(path))
+    val json =
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    def str(name: String): String =
+      (s""""$name"\\s*:\\s*"([^"]+)"""").r.findFirstMatchIn(json)
+        .getOrElse(sys.error(s"malformed journal (missing $name): $json"))
+        .group(1)
+    val metaIdx = json.indexOf("\"meta\":")
+    require(metaIdx >= 0, s"malformed journal (missing meta): $json")
+    // meta is the LAST field: everything from its '{' to the journal's
+    // closing brace
+    val meta = json.substring(metaIdx + 7, json.length - 1)
+    Journal(str("op"), str("token"), meta)
+  }
+
   /** The store's signature parameters, read from the layout's own
     * metadata (written by [[write]]) so probes/appends cannot silently
     * use different banding than ingest did. */
@@ -261,7 +476,8 @@ object SignatureStore {
     require(f.exists(p),
       s"$path/_store_meta.json missing — was the store written with " +
         "SignatureStore.write? (an interrupted write deletes it first, " +
-        "so a meta-less store is an incomplete one)")
+        "so a meta-less store is an incomplete one; an interrupted " +
+        "staged append/compact is repairable with SignatureStore.recover)")
     val in = f.open(p)
     val json =
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -278,6 +494,13 @@ object SignatureStore {
         s"computes version $SigVersion — band hashes from different " +
         "versions never collide, so probing would silently admit every " +
         "near-duplicate. Re-ingest the store with SignatureStore.write.")
-    Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"))
+    // stores written before the watermark existed carry no maxDocId —
+    // treat them as empty-watermarked (every batch id passes), so old
+    // stores keep probing; new writes always persist the field
+    val maxDocId =
+      (""""maxDocId"\s*:\s*(-?\d+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(Long.MinValue)
+    Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"),
+      maxDocId)
   }
 }

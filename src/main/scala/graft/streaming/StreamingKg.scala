@@ -126,9 +126,10 @@ object StreamingKg {
     * marker on the store's filesystem makes a replayed epoch a no-op;
     * survivors go to a PER-BATCH subdir in overwrite mode, so a retry
     * that died mid-loop rewrites instead of duplicating; the store
-    * append restores its metadata only after both table appends (an
-    * interrupted append leaves a meta-less store that refuses loudly);
-    * and the probe itself tolerates re-appended duplicate signature rows.
+    * append is a journaled staged commit (the live store stays valid
+    * while new files stage; a crash inside the commit window is
+    * replayable with [[graft.ops.SignatureStore.recover]]); and the
+    * probe itself tolerates re-appended duplicate signature rows.
     *
     * Semantics note: this is INCREMENTAL keep-first dedup — within one
     * micro-batch the drop set equals the batch CC transform's, but a doc
@@ -136,7 +137,11 @@ object StreamingKg {
     * similar ONLY to that dropped doc survives. That is the standard
     * (and intended) contract of incremental dedup: the store holds
     * exactly the retained corpus. Batch doc_ids must be globally unique
-    * and larger than stored ids (monotone ingest numbering). */
+    * and larger than stored ids (monotone ingest numbering) — the store
+    * ENFORCES this against its persisted max-ingested-id watermark and
+    * fails the batch loudly on violation, because a smaller batch id
+    * would silently make a stored near-dup the non-representative and
+    * retain both documents. */
   def nearDupDedupStream(
       docs: DataFrame,
       storePath: String,

@@ -183,6 +183,220 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("signature version"))
   }
 
+  test("monotone-ingest watermark: probe and append refuse batch ids at or below the stored max") {
+    import spark.implicits._
+    val corpus = (0L until 100L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_mono").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16)
+    // batch containing an id BELOW the stored max (99): a stored near-dup
+    // would become the non-representative — the store must refuse
+    val bad = Seq((42L, "a b c d e f")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, bad).count()
+    }
+    assert(e1.getMessage.contains("monotone"))
+    val e2 = intercept[IllegalArgumentException] {
+      SignatureStore.append(spark, path, bad)
+    }
+    assert(e2.getMessage.contains("monotone"))
+    // the boundary itself (== max) also refuses; strictly-greater passes
+    val eq = Seq((99L, "a b c d e f")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, eq).count()
+    }
+    val ok = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    SignatureStore.probe(spark, path, ok).count() // no near-dups, no error
+    // append advances the watermark: after appending 100, probing 100
+    // refuses but 101 passes
+    SignatureStore.append(spark, path, ok)
+    intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, ok).count()
+    }
+    SignatureStore.probe(spark, path,
+      Seq((101L, "x y z w v u")).toDF("doc_id", "text")).count()
+  }
+
+  test("staged append: live store valid while staged; crash in the commit window recovers") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val corpus = (0L until 100L).map(i => (i, words(s"c$i")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_crash").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    assert(!SignatureStore.recover(spark, path)) // healthy: nothing to do
+
+    // stage an append of doc 200 WITHOUT committing — the live store must
+    // still probe exactly as before (staging is invisible)
+    val batchB = Seq((200L, words("b"))).toDF("doc_id", "text")
+    assert(SignatureStore.stageAppendBatch(spark, path, batchB))
+    val probeC = Seq((300L, words("b") + " tail")).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, path, probeC).count() == 0)
+
+    // a second staged commit is refused while one is pending
+    val e0 = intercept[IllegalArgumentException] {
+      SignatureStore.stageAppendBatch(spark, path,
+        Seq((400L, words("x"))).toDF("doc_id", "text"))
+    }
+    assert(e0.getMessage.contains("recover"))
+
+    // simulate a crash INSIDE the commit window: metadata deleted, some
+    // staged files already moved, journal still present
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/_store_meta.json"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/._store_meta.json.crc"))
+    val staging = new java.io.File(path).listFiles()
+      .find(_.getName.startsWith("_staging_")).get
+    val stagedPart = new java.io.File(staging, "bands").listFiles()
+      .find(f => f.isDirectory && f.getName.startsWith("bh_pfx=")).get
+    val oneFile = stagedPart.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val liveDir = new java.io.File(s"$path/bands/${stagedPart.getName}")
+    liveDir.mkdirs()
+    java.nio.file.Files.move(oneFile.toPath,
+      new java.io.File(liveDir, oneFile.getName).toPath)
+
+    // the half-committed store refuses loudly and points at recover
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, probeC).count()
+    }
+    assert(e.getMessage.contains("recover"))
+
+    // recover replays the remaining renames and restores the metadata:
+    // the appended doc is now live and the probe pairs against it
+    assert(SignatureStore.recover(spark, path))
+    val got = SignatureStore.probe(spark, path, probeC).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((200L, 300L)))
+    assert(!SignatureStore.recover(spark, path)) // journal consumed
+    // no staging/trash debris left behind
+    assert(new java.io.File(path).listFiles()
+      .forall(f => !f.getName.startsWith("_staging_") &&
+        !f.getName.startsWith("_trash_")))
+  }
+
+  test("compact bounds per-partition file counts and preserves probe results") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val corpus = (0L until 100L).map(i => (i, words(s"c$i")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_compact").toString
+    SignatureStore.write(corpus, path, nPrefixes = 8, k = 32, bands = 16,
+      shingleN = 3)
+    // 5 micro-batch appends — the streaming loop's small-file shape
+    (0 until 5).foreach { b =>
+      val batch = (0 until 10).map(i =>
+        (1000L + 10 * b + i, words(s"a${b}_$i"))).toDF("doc_id", "text")
+      SignatureStore.append(spark, path, batch)
+    }
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+        else Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+      walk(new java.io.File(dir))
+    }
+    val before = parquetFiles(path).size
+    val probeBatch = Seq(
+      (5000L, words("c7") + " tail"),    // near-dup of a corpus doc
+      (5001L, words("a2_3") + " tail"))  // near-dup of an APPENDED doc
+      .toDF("doc_id", "text")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val beforePairs = canon(
+      SignatureStore.probe(spark, path, probeBatch).collect())
+    assert(beforePairs.map(t => (t._1, t._2)) ==
+      Set((7L, 5000L), (1023L, 5001L)))
+
+    SignatureStore.compact(spark, path)
+
+    // one file per present prefix partition per table
+    val bandParts = new java.io.File(s"$path/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bh_pfx="))
+    assert(bandParts.nonEmpty)
+    bandParts.foreach { p =>
+      assert(parquetFiles(p.toString).size == 1, s"${p.getName}")
+    }
+    assert(parquetFiles(path).size < before)
+    // identical probe results, watermark intact (5000 > 1049 passes;
+    // 1049 itself would refuse)
+    assert(canon(SignatureStore.probe(spark, path, probeBatch).collect())
+      == beforePairs)
+    intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path,
+        Seq((1049L, "a b c")).toDF("doc_id", "text")).count()
+    }
+  }
+
+  test("property: probe ≡ batch-touching subset of the batch path on seeded random corpora") {
+    import spark.implicits._
+    // randomized differential check of the cap/merge equivalence argument
+    // (SignatureStore scaladoc): for ANY corpus/batch split with monotone
+    // ids, probe(store(old), batch) must equal the batch-touching subset
+    // of jaccardVerify(lshCandidatePairs(old ∪ batch)) — including under
+    // a tiny maxBucket where the merged-membership cap bites. Seeded
+    // scala.util.Random (PropertySpec convention: deterministic suite,
+    // no scalatestplus in the offline cache); mutation-heavy generator so
+    // near-dups, exact dups, and boilerplate collisions all occur.
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 25).map(i => s"v$i")
+      def freshText(): String = {
+        val n = 6 + rnd.nextInt(12)
+        (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mutate(t: String): String = {
+        val toks = scala.collection.mutable.ArrayBuffer(t.split(" "): _*)
+        rnd.nextInt(3) match {
+          case 0 => toks.append(vocab(rnd.nextInt(vocab.size)))
+          case 1 => if (toks.size > 4) toks.remove(rnd.nextInt(toks.size))
+          case _ => toks(rnd.nextInt(toks.size)) = vocab(rnd.nextInt(vocab.size))
+        }
+        toks.mkString(" ")
+      }
+      def nextText(): String = {
+        val t =
+          if (texts.nonEmpty && rnd.nextDouble() < 0.5)
+            mutate(texts(rnd.nextInt(texts.size)))
+          else freshText()
+        texts += t
+        t
+      }
+      val nOld = 5 + rnd.nextInt(25)
+      val nBatch = 1 + rnd.nextInt(10)
+      val old = (0 until nOld).map(i => (i.toLong, nextText()))
+        .toDF("doc_id", "text")
+      val batch = (0 until nBatch).map(i => (1000L + i, nextText()))
+        .toDF("doc_id", "text")
+      val maxBucket = if (rnd.nextBoolean()) 2 else 64
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_sigstore_prop$seed").toString
+      SignatureStore.write(old, path, nPrefixes = 8, k = 32, bands = 16,
+        shingleN = 3)
+      val got = SignatureStore
+        .probe(spark, path, batch, maxBucket = maxBucket)
+        .collect()
+      val all = old.unionByName(batch)
+      val want = Dedup.jaccardVerify(all,
+        Dedup.lshCandidatePairs(all, k = 32, bands = 16, shingleN = 3,
+          maxBucket = maxBucket), shingleN = 3, minJaccard = 0.8)
+        .where(col("id1") >= 1000L || col("id2") >= 1000L)
+        .collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(canon(got) == canon(want),
+        s"seed=$seed nOld=$nOld nBatch=$nBatch maxBucket=$maxBucket")
+    }
+  }
+
   test("probe refuses a path without store metadata") {
     import spark.implicits._
     val batch = Seq((1L, "a b c d e")).toDF("doc_id", "text")
