@@ -620,6 +620,44 @@ object SparkEntry {
           element_at(col("tok.c"), 2).as("y"),
           element_at(col("tok.c"), 3).as("w"),
           element_at(col("tok.c"), 4).as("h"))
+    }),
+    // the COMPOSED cleaning pipeline (decontaminate → exact dedup →
+    // near-dup dedup) over ONE staged shingle/signature pass — the chain
+    // a training-data user runs, as a single verified query. Planted:
+    // exact copies of every 40th doc, near-dup mutants of every 30th,
+    // benchmark excerpts of every 50th (q31's). Same 16-band × 2-row
+    // exhaustive-equivalence parameters as kg15, so DuckDB recomputes the
+    // full composition: flag → keep-min per hash → recursive-CTE closure
+    // → keep-min rep → survivors per language.
+    "kg19_cleaning_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val copies = docs.where(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          col("text"))
+      val mutants = docs.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" qqzz")).as("text"))
+      graft.ops.CleaningPipeline.cleanedMeta(
+        docs.unionByName(copies).unionByName(mutants),
+        benchExcerpts(s, dir), keepCols = Seq("lang"),
+        k = 32, bands = 16, shingleN = 3, maxBucket = 1024,
+        minJaccard = 0.8, minOverlap = 5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    }),
+    // the near-dup dedup TRANSFORM (kg15 materializes the clusters; this
+    // oracle-covers the keep-representative anti-join path itself):
+    // survivors per language after dropping every clustered doc except
+    // its min-id representative
+    "kg20_neardup_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val mutated = docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" qqzz")).as("text"))
+      Dedup.nearDupDedup(docs.unionByName(mutated), k = 32, bands = 16,
+        shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -1225,6 +1263,109 @@ object SparkEntry {
          FROM tok2 t
          JOIN read_parquet('$StageDir/rebuilt_gold/*.parquet') g
            ON t.id = g.url
-         WHERE t.tk.s >= g.lOffset AND t.tk.s + t.tk.l <= g.rOffset"""
+         WHERE t.tk.s >= g.lOffset AND t.tk.s + t.tk.l <= g.rOffset""",
+    // the composed cleaning chain recomputed exactly: contamination flags
+    // (kg16's form), keep-min per md5(text) among the unflagged, then the
+    // kg15 recursive-CTE near-dup closure among the exact-dedup
+    // survivors, keep-min representative, survivors per language. The
+    // bench excerpts come from BASE documents only (doc_id < 1000000).
+    "kg19_cleaning_pipeline" ->
+      """WITH RECURSIVE
+         d AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, lang, text FROM documents
+           WHERE doc_id % 40 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, lang, text || ' qqzz' FROM documents
+           WHERE doc_id % 30 = 0
+         ),
+         tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+                 FROM d),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM tok),
+         bt AS (SELECT doc_id AS bench_id, t[1:40] AS t
+                FROM tok WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+         bsh AS (
+           SELECT bench_id,
+             list_distinct(list_transform(range(0, len(t) - 2),
+               i -> t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)]
+                    || ' ' || t[CAST(i+3 AS INT)])) AS sh
+           FROM bt),
+         flagged AS (
+           SELECT DISTINCT s.doc_id FROM sh s
+           JOIN bsh b ON len(list_intersect(s.sh, b.sh)) >= 5),
+         r1 AS (SELECT * FROM d
+                WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         r2 AS (SELECT doc_id, lang FROM (
+                  SELECT doc_id, lang,
+                    ROW_NUMBER() OVER (PARTITION BY md5(text)
+                      ORDER BY doc_id) AS rn
+                  FROM r1) WHERE rn = 1),
+         s2 AS (SELECT h.doc_id, h.sh FROM sh h JOIN r2 USING (doc_id)),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s2 a JOIN s2 b
+             ON a.doc_id < b.doc_id
+            AND len(a.sh) * 5 >= len(b.sh) * 4
+            AND len(b.sh) * 5 >= len(a.sh) * 4
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.8),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM p
+                   UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach
+                  GROUP BY node),
+         dropids AS (SELECT node FROM comp WHERE node <> component)
+         SELECT r2.lang, COUNT(*) AS n_docs FROM r2
+         WHERE r2.doc_id NOT IN (SELECT node FROM dropids)
+         GROUP BY r2.lang""",
+    // kg15's closure applied as the TRANSFORM: survivors (everything but
+    // non-representative cluster members) counted per language
+    "kg20_neardup_dedup" ->
+      """WITH RECURSIVE
+         d AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lang, text || ' qqzz' FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(string_split(text,' ')) - 2),
+               i -> string_split(text,' ')[CAST(i+1 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+2 AS INT)] || ' ' ||
+                    string_split(text,' ')[CAST(i+3 AS INT)])) AS sh
+           FROM d),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM s a JOIN s b
+             ON a.doc_id < b.doc_id
+            AND len(a.sh) * 5 >= len(b.sh) * 4
+            AND len(b.sh) * 5 >= len(a.sh) * 4
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               >= 0.8),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM p
+                   UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach
+                  GROUP BY node),
+         dropids AS (SELECT node FROM comp WHERE node <> component)
+         SELECT d.lang, COUNT(*) AS n_docs FROM d
+         WHERE d.doc_id NOT IN (SELECT node FROM dropids)
+         GROUP BY d.lang"""
   )
 }

@@ -65,9 +65,27 @@ object Decontaminate {
       minOverlap: Int = 5,
       minRatio: Double = 0.0,
       broadcastBench: Boolean = true
+  ): DataFrame =
+    contaminationReportOnShingles(withShingles(docs, "doc_id", shingleN),
+      bench, shingleN, minOverlap, minRatio, broadcastBench)
+
+  /** As [[contaminationReport]], but over a PRE-COMPUTED `(doc_id, sh)`
+    * distinct shingle-set table — the hook the composed cleaning pipeline
+    * ([[CleaningPipeline]]) uses so its one staged shingle pass feeds
+    * decontamination AND near-dup verification without re-reading corpus
+    * text. `docShingleSets.sh` must be the distinct `shingleN`-gram set
+    * ([[Dedup.distinctShingles]]); a different shingle width than the
+    * bench side would silently miss overlaps. */
+  def contaminationReportOnShingles(
+      docShingleSets: DataFrame,
+      bench: DataFrame,
+      shingleN: Int = 3,
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true
   ): DataFrame = {
     val benchSets = withShingles(bench, "bench_id", shingleN)
-    val dsh = withShingles(docs, "doc_id", shingleN)
+    val dsh = docShingleSets
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bsh = benchSets
       .select(col("bench_id"), explode(col("sh")).as("shingle"))

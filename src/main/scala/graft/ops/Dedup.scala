@@ -99,13 +99,29 @@ object Dedup {
       bands: Int,
       shingleN: Int
   ): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
     val sig = docs
       .where(size(split(col("text"), " ")) >= shingleN)
       .select(col("doc_id"),
         minhashSignature(col("text"), k, shingleN).as("sig"))
-    sig.select(
+    bandRowsFromSigs(sig, k, bands)
+  }
+
+  /** Band rows `(doc_id, band, bh)` from a PRE-COMPUTED `(doc_id, sig)`
+    * signature table — the band-derivation half of [[bandedSignatures]],
+    * shared with the composed cleaning pipeline
+    * ([[CleaningPipeline]]), which computes signatures once in its
+    * staged pass and must band IDENTICALLY to the batch path and the
+    * store. Callers are responsible for the sub-shingle gate (docs with
+    * no shingles must not reach banding — their all-MaxValue signatures
+    * would collide into one degenerate bucket). */
+  private[ops] def bandRowsFromSigs(
+      sigs: DataFrame,
+      k: Int,
+      bands: Int
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),

@@ -420,7 +420,7 @@ object SignatureStore {
     }
   }
 
-  private final case class Meta(nPrefixes: Int, k: Int, bands: Int,
+  private[ops] final case class Meta(nPrefixes: Int, k: Int, bands: Int,
       shingleN: Int, maxDocId: Long)
 
   private final case class Journal(op: String, token: String, meta: String)
@@ -470,7 +470,7 @@ object SignatureStore {
   /** The store's signature parameters, read from the layout's own
     * metadata (written by [[write]]) so probes/appends cannot silently
     * use different banding than ingest did. */
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private[ops] def readMeta(spark: SparkSession, path: String): Meta = {
     val f = fs(spark, path)
     val p = metaPath(path)
     require(f.exists(p),
