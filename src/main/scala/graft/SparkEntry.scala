@@ -454,12 +454,19 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
     }),
+    // LSH-bucket ANN, oracle-checked via the kg03 staging pattern: the
+    // non-SQL half (bucket assignment) is staged as a candidate-id
+    // parquet, and DuckDB verifies the result IS the brute-force cosine
+    // top-k over exactly those candidates (q22's ranking restricted to
+    // the staged set)
     "kg08_ann_lsh" -> ((s, dir) => {
+      stagedAnnCandidates(s, dir)
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
       Ann.topKCosineLsh(emb, q, 10, bits = 4)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
     }),
     // IVF at the scale setting (nprobe < nlist) over the PHYSICAL layout:
     // assignment (native argmin projection) written as the parquet
@@ -467,12 +474,14 @@ object SparkEntry {
     // asserts the PartitionFilters). Rows-only; recall vs brute force is
     // spec-measured in OpsSpec
     "kg11_ann_ivf" -> ((s, dir) => {
+      stagedAnnCandidates(s, dir)
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding")).collect()(0)
         .getSeq[Float](0)
       val (centers, path) = stagedIvf(s, dir)
       Ann.ivfSearchPartitioned(s, path, centers, q, k = 10, nprobe = 2)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
     }),
     // full HIPE evaluation report (4 regimes × per-type + ALL, micro +
     // macro-over-types) of the NER output against the synthetic gold —
@@ -503,14 +512,16 @@ object SparkEntry {
     // embedding-cosine near-dup: planted near-identical copies (each
     // vector with its first component nudged) must pair with their source
     "kg09_embedding_neardup" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val mutated = emb.select(
-        (col("vec_id") + 1000000L).as("vec_id"),
-        concat(
-          array((element_at(col("embedding"), 1) * 1.01f).cast("float")),
-          slice(col("embedding"), 2, 63)).as("embedding"))
-      Ann.embeddingNearDupPairs(emb.unionByName(mutated), dim = 64,
+      // the mutated-union vector table and the banded candidate pairs
+      // are staged to parquet, so DuckDB can verify the cosine stage
+      // exactly (candidates in, thresholded cosines out); the timed
+      // query still runs the FULL operator (banding + verify) over the
+      // same staged vectors
+      stagedAnnCandidates(s, dir)
+      Ann.embeddingNearDupPairs(
+        s.read.parquet(s"$StageDir/kg09_vectors"), dim = 64,
         minCosine = 0.98)
+        .select(col("id1"), col("id2"), round(col("cosine"), 5).as("cosine"))
     }),
 
     // NEL (QID-level) evaluation report — the HIPE scorer's `--task=nel`
@@ -699,6 +710,46 @@ object SparkEntry {
   private[graft] def sigStoreIngestSeconds(dir: String): Option[Double] =
     sigStage.get(dir).map(_._2)
 
+  /** ANN candidate sets staged ONCE per JVM (kg03 pattern, round-4
+    * verdict order #2): the non-SQL candidate GENERATION — LSH bucket
+    * assignment (kg08), banded hyperplane collisions (kg09), IVF probe
+    * selection (kg11) — is pinned to parquet, so DuckDB can verify the
+    * SQL-expressible half of each query exactly: brute-force cosine
+    * ranking (kg08/kg11) or thresholded cosine verification (kg09) over
+    * the staged candidates. kg09's vectors (base ∪ mutants) are staged
+    * too so both engines read bit-identical floats. */
+  @volatile private var annStaged: Set[String] = Set.empty
+  private def stagedAnnCandidates(s: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!annStaged(dir)) {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        // kg08: the query's LSH bucket membership
+        Ann.lshQueryBucketMembers(emb, q, bits = 4).select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$StageDir/kg08_candidates")
+        // kg09: mutated-union vectors + banded candidate pairs over them
+        val mutated = emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array((element_at(col("embedding"), 1) * 1.01f).cast("float")),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+        emb.select(col("vec_id"), col("embedding")).unionByName(mutated)
+          .write.mode("overwrite").parquet(s"$StageDir/kg09_vectors")
+        Ann.embeddingNearDupCandidates(
+          s.read.parquet(s"$StageDir/kg09_vectors"))
+          .write.mode("overwrite").parquet(s"$StageDir/kg09_pairs")
+        // kg11: membership of the probed inverted lists
+        val (centers, path) = stagedIvf(s, dir)
+        val probes = Ann.ivfProbes(centers, q, nprobe = 2)
+        s.read.parquet(path)
+          .where(col("ivf_list").isin(probes.map(Integer.valueOf): _*))
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$StageDir/kg11_candidates")
+        annStaged += dir
+      }
+    }
+
   /** Planted "benchmark" table for the decontamination queries: 40-token
     * excerpts of every 50th document — deterministic, guaranteed overlap
     * (each source document is contaminated by its own excerpt, as are its
@@ -710,9 +761,13 @@ object SparkEntry {
         array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
 
   /** DuckDB-runnable ANSI oracles, column-name and value aligned with the
-    * Spark results above. kg* queries are intentionally absent (rows-only
-    * check): their semantics (trie NER, LSH hashing, media decode) are not
-    * expressible in SQL — the ScalaTest suite covers them. */
+    * Spark results above. The remaining oracle-less queries (rows-only
+    * check) are the genuinely non-SQL set: kg01 (trie NER), kg07
+    * (SimHash bits), kg12-kg14 (HIPE/NEL scorer reports — differentially
+    * validated against the reference's own scorer in HipeParitySpec).
+    * The ANN family (kg08/kg09/kg11) stages its candidate sets to
+    * parquet, so the SQL-expressible ranking/verification half IS
+    * oracle-checked. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1264,6 +1319,67 @@ object SparkEntry {
          JOIN read_parquet('$StageDir/rebuilt_gold/*.parquet') g
            ON t.id = g.url
          WHERE t.tk.s >= g.lOffset AND t.tk.s + t.tk.l <= g.rOffset""",
+    // LSH ANN ≡ brute-force top-k over the staged bucket candidates
+    "kg08_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id
+               FROM read_parquet('$StageDir/kg08_candidates/*.parquet')),
+         d AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE)))) AS nb
+           FROM embeddings e JOIN c USING (vec_id), q)
+         SELECT vec_id, ROUND(dp / (na * nb), 5) AS cosine
+         FROM d ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""",
+    // IVF nprobe search ≡ brute-force top-k over the staged membership
+    // of the probed inverted lists
+    "kg11_ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id
+               FROM read_parquet('$StageDir/kg11_candidates/*.parquet')),
+         d AS (
+           SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(qv[CAST(i AS INT)] AS DOUBLE)))) AS nb
+           FROM embeddings e JOIN c USING (vec_id), q)
+         SELECT vec_id, ROUND(dp / (na * nb), 5) AS cosine
+         FROM d ORDER BY dp / (na * nb) DESC, vec_id LIMIT 10""",
+    // embedding near-dup ≡ exact cosine over the staged candidate pairs,
+    // thresholded — vectors read from the SAME staged parquet Spark uses
+    "kg09_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, embedding
+                 FROM read_parquet('$StageDir/kg09_vectors/*.parquet')),
+         p AS (SELECT id1, id2
+               FROM read_parquet('$StageDir/kg09_pairs/*.parquet')),
+         j AS (
+           SELECT p.id1, p.id2,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))) AS nb
+           FROM p JOIN v a ON p.id1 = a.vec_id
+                  JOIN v b ON p.id2 = b.vec_id)
+         SELECT id1, id2, ROUND(dp / (na * nb), 5) AS cosine
+         FROM j WHERE dp / (na * nb) >= 0.98""",
     // the composed cleaning chain recomputed exactly: contamination flags
     // (kg16's form), keep-min per md5(text) among the unflagged, then the
     // kg15 recursive-CTE near-dup closure among the exact-dedup

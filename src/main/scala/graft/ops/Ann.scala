@@ -83,9 +83,24 @@ object Ann {
       bits: Int = 4,
       seed: Long = 7L
   ): DataFrame = {
+    val q = typedlitSeq(query)
+    lshQueryBucketMembers(embeddings, query, bits, seed)
+      .select(col("vec_id"), cosine(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** The candidate set [[topKCosineLsh]] ranks: every vector in the
+    * query's LSH bucket. Exposed so the candidate set can be staged and
+    * the LSH result verified as "exactly the brute-force top-k over
+    * these candidates" (the oracle kg08 runs that check in SQL). */
+  def lshQueryBucketMembers(
+      embeddings: DataFrame,
+      query: Seq[Float],
+      bits: Int = 4,
+      seed: Long = 7L
+  ): DataFrame = {
     val dim = query.length
-    val bucketed = embeddings.withColumn(
-      "bucket", lshBucket(col("embedding"), bits, dim, seed))
     // query bucket computed driver-side with the same hash — no job needed
     val qBucket = {
       var acc = 0L
@@ -96,12 +111,10 @@ object Ann {
       }
       acc
     }
-    val q = typedlitSeq(query)
-    bucketed
+    embeddings
+      .withColumn("bucket", lshBucket(col("embedding"), bits, dim, seed))
       .where(col("bucket") === qBucket)
-      .select(col("vec_id"), cosine(col("embedding"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(k)
+      .drop("bucket")
   }
 
   /** Embedding-cosine near-duplicate detection (the dedup path for
@@ -135,6 +148,22 @@ object Ann {
       bands: Int = 8,
       maxBucket: Int = 256,
       seed: Long = 7L
+  ): DataFrame =
+    verifyCosinePairs(embeddings,
+      embeddingNearDupCandidates(embeddings, bits, bands, maxBucket, seed),
+      minCosine)
+
+  /** The banded candidate-pair stage of [[embeddingNearDupPairs]] —
+    * `(id1, id2)` pairs colliding in ANY band, bucket-capped, deduped.
+    * Exposed so the candidate set can be staged and the verify stage
+    * oracle-checked in SQL (kg09): the final output is exactly "cosine
+    * over these pairs, thresholded". */
+  def embeddingNearDupCandidates(
+      embeddings: DataFrame,
+      bits: Int = 12,
+      bands: Int = 8,
+      maxBucket: Int = 256,
+      seed: Long = 7L
   ): DataFrame = {
     // all band keys in one pass (native expression), then posexplode —
     // the embedding is traversed once per row, not bands×bits times, and
@@ -155,10 +184,19 @@ object Ann {
       .drop("_bsz")
     val a = banded.select(col("band"), col("key"), col("vec_id").as("id1"))
     val bDf = banded.select(col("band"), col("key"), col("vec_id").as("id2"))
-    val pairs = a.join(bDf, Seq("band", "key"))
+    a.join(bDf, Seq("band", "key"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct() // dedup multi-band collisions BEFORE touching vectors
+  }
+
+  /** Exact-cosine verification of candidate pairs: vectors re-attached
+    * with one equi-join per side, threshold on the exact value. */
+  def verifyCosinePairs(
+      embeddings: DataFrame,
+      pairs: DataFrame,
+      minCosine: Double
+  ): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     pairs
       .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
@@ -254,6 +292,21 @@ object Ann {
       k: Int,
       nprobe: Int
   ): DataFrame = {
+    val probes = ivfProbes(centers, query, nprobe)
+    val qc = typedlitSeq(query)
+    assigned
+      .where(col("ivf_list").isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"), cosine(col("embedding"), qc).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side centroid ranking: the `nprobe` nearest inverted lists
+    * to the query (nlist rows — no Spark job). Exposed so the probed
+    * lists' membership can be staged as the candidate set an [[ivfSearch]]
+    * result is verified against (oracle kg11). */
+  def ivfProbes(centers: Array[Array[Double]], query: Seq[Float],
+      nprobe: Int): Array[Int] = {
     val q = query.map(_.toDouble).toArray
     def dist2(c: Array[Double]): Double = {
       var s = 0.0
@@ -261,14 +314,8 @@ object Ann {
       while (i < c.length) { val d = c(i) - q(i); s += d * d; i += 1 }
       s
     }
-    val probes = centers.zipWithIndex
+    centers.zipWithIndex
       .sortBy { case (c, i) => (dist2(c), i) }
       .take(math.max(1, nprobe)).map(_._2)
-    val qc = typedlitSeq(query)
-    assigned
-      .where(col("ivf_list").isin(probes.map(Integer.valueOf): _*))
-      .select(col("vec_id"), cosine(col("embedding"), qc).as("cosine"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-      .limit(k)
   }
 }
