@@ -22,12 +22,26 @@ import graft.synth.Synth
   */
 object ScalingBench {
 
-  private def corpusDir(nDocs: Long): String =
-    s"/tmp/graft_scaling_corpus_$nDocs"
+  /** Corpus path prefix — overridable (5th CLI arg) so the ladder can
+    * run over a RE-ENCODED copy of the corpus (EncodingBench variants)
+    * instead of the default snappy layout. The warm-up corpus must live
+    * under the same prefix: warming on a different codec leaves the
+    * decompressor call sites megamorphic in the timed run. */
+  private val DefaultPrefix = "/tmp/graft_scaling_corpus_"
 
-  private def materialize(nDocs: Long): Unit = {
-    val dir = corpusDir(nDocs)
-    val warmDir = corpusDir(nDocs / 10)
+  private def corpusDir(prefix: String, nDocs: Long): String =
+    s"$prefix$nDocs"
+
+  private def materialize(prefix: String, nDocs: Long): Unit = {
+    val dir = corpusDir(prefix, nDocs)
+    val warmDir = corpusDir(prefix, nDocs / 10)
+    if (prefix != DefaultPrefix) {
+      // overridden corpora are produced by their own writer (EncodingBench)
+      require(Files.exists(Paths.get(s"$dir/_SUCCESS")) &&
+        Files.exists(Paths.get(s"$warmDir/_SUCCESS")),
+        s"corpus override $prefix: $dir and $warmDir must already exist")
+      return
+    }
     if (Files.exists(Paths.get(s"$dir/_SUCCESS")) &&
       Files.exists(Paths.get(s"$warmDir/_SUCCESS"))) return
     val spark = SparkSession.builder()
@@ -51,7 +65,8 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  private def runAt(cores: Int, nDocs: Long): (Double, Long, Long) = {
+  private def runAt(cores: Int, nDocs: Long,
+      prefix: String): (Double, Long, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -68,14 +83,14 @@ object ScalingBench {
       // JIT/codegen warm-up with the SAME job shape (parquet-sourced, one
       // tenth the size, untimed) — warming with a differently-shaped source
       // leaves megamorphic call sites deoptimizing inside the timed run
-      val warm = spark.read.parquet(corpusDir(nDocs / 10)).as[Article]
+      val warm = spark.read.parquet(corpusDir(prefix, nDocs / 10)).as[Article]
       // three passes: one is not enough for C2 to finish compiling the
       // hot path before a ~15-second timed job at high core counts
       (1 to 3).foreach { _ =>
         graft.graph.GraphMaterialize.triples(
           KgPipeline.mentions(warm, scorer)).count()
       }
-      val articles = spark.read.parquet(corpusDir(nDocs)).as[Article]
+      val articles = spark.read.parquet(corpusDir(prefix, nDocs)).as[Article]
       // untimed: mention count (determinism cross-check between levels)
       val nMentions = KgPipeline.mentions(articles, scorer).count()
       // timed end-to-end: scan → gate → NER → link → triples distinct →
@@ -90,15 +105,16 @@ object ScalingBench {
   }
 
   /** Run one measurement in THIS JVM and print a parsable line. */
-  private def singleMain(cores: Int, nDocs: Long): Unit = {
-    val (wall, m, t) = runAt(cores, nDocs)
+  private def singleMain(cores: Int, nDocs: Long, prefix: String): Unit = {
+    val (wall, m, t) = runAt(cores, nDocs, prefix)
     println(s"SINGLE $cores $nDocs $wall $m $t")
   }
 
   /** Spawn a fresh child JVM for one measurement — run-to-run JIT/heap
     * state in a shared JVM dominates the signal otherwise (observed 2×
     * outliers between identical rounds). */
-  private def runInChildJvm(cores: Int, nDocs: Long): (Double, Long, Long) = {
+  private def runInChildJvm(cores: Int, nDocs: Long,
+      prefix: String): (Double, Long, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments
@@ -107,7 +123,7 @@ object ScalingBench {
     jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
     cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
     cmd.add("graft.ScalingBench"); cmd.add("single")
-    cmd.add(cores.toString); cmd.add(nDocs.toString)
+    cmd.add(cores.toString); cmd.add(nDocs.toString); cmd.add(prefix)
     val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
     val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toList
     val rc = p.waitFor()
@@ -118,8 +134,9 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 3 && args(0) == "single") {
-      singleMain(args(1).toInt, args(2).toLong)
+    if (args.length >= 3 && args(0) == "single") {
+      singleMain(args(1).toInt, args(2).toLong,
+        if (args.length >= 4) args(3) else DefaultPrefix)
       return
     }
     val nDocs = if (args.nonEmpty) args(0).toLong else 2000000L
@@ -130,8 +147,9 @@ object ScalingBench {
       if (args.length >= 3) (args(1).toInt, args(2).toInt) else (8, 32)
 
     val rounds = if (args.length >= 4) args(3).toInt else 5
+    val prefix = if (args.length >= 5) args(4) else DefaultPrefix
 
-    materialize(nDocs)
+    materialize(prefix, nDocs)
     // PAIRED protocol (round-3 verdict order #8): each round runs lo then
     // hi back-to-back in the same time window, each in a FRESH child JVM
     // with a same-shape warm-up inside. Host drift on this shared VM is
@@ -142,8 +160,8 @@ object ScalingBench {
     val losRaw = Seq.newBuilder[(Double, Long, Long)]
     val hisRaw = Seq.newBuilder[(Double, Long, Long)]
     (1 to rounds).foreach { _ =>
-      losRaw += runInChildJvm(lo, nDocs)
-      hisRaw += runInChildJvm(hi, nDocs)
+      losRaw += runInChildJvm(lo, nDocs, prefix)
+      hisRaw += runInChildJvm(hi, nDocs, prefix)
     }
     val los = losRaw.result()
     val his = hisRaw.result()
@@ -186,6 +204,7 @@ object ScalingBench {
       f"""
          |## ScalingBench run (${java.time.Instant.now()})
          |
+         |Corpus prefix: $prefix
          |Timed job: parquet scan (url-hash-bucketed at ingest) → gate → NER
          |mapPartitions → link → triples distinct+count, same $nDocs-doc input
          |at both levels. PAIRED protocol: $rounds rounds, each running

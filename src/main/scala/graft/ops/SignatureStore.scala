@@ -83,11 +83,14 @@ object SignatureStore {
     val maxDocId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
     deleteMeta(spark, path)
     Dedup.bandedSignatures(docs, k, bands, shingleN)
+      .select(col("doc_id").cast("long").as("doc_id"), col("band"),
+        col("bh"))
       .withColumn("bh_pfx", pmod(col("bh"), lit(nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
       .write.mode("overwrite").partitionBy("bh_pfx")
       .parquet(s"$path/bands")
     Dedup.distinctShingleSets(docs, shingleN)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
       .withColumn("doc_pfx", pmod(col("doc_id"), lit(nPrefixes.toLong)))
       .repartition(col("doc_pfx"))
       .write.mode("overwrite").partitionBy("doc_pfx")
@@ -101,6 +104,15 @@ object SignatureStore {
     // near-duplicate; readMeta refuses loudly instead.
     writeMeta(spark, path, metaJson(nPrefixes, k, bands, shingleN, maxDocId))
   }
+
+  /** The store tables' fixed schemas (partition column included). Reads
+    * always supply them EXPLICITLY: a day-0 store — written from an
+    * empty corpus so a streaming ingest can start from nothing — has no
+    * data files, and schema inference would fail the very first probe.
+    * Writers cast `doc_id` to long so any integer id type lands on this
+    * contract. */
+  private val BandsSchema = "doc_id LONG, band INT, bh LONG, bh_pfx LONG"
+  private val ShinglesSchema = "doc_id LONG, sh ARRAY<STRING>, doc_pfx LONG"
 
   /** Version of the signature hash function persisted in band keys.
     * 2 = byte-level FNV-1a over UTF-8 ([[graft.functions.MinHashSig]]);
@@ -177,7 +189,7 @@ object SignatureStore {
     //    fan-out, NOT by batch or corpus size
     val bhPfx = bKeys.select(pmod(col("bh"), lit(m.nPrefixes.toLong))
         .as("p")).distinct().collect().map(_.getLong(0))
-    val oldBands = spark.read.parquet(s"$path/bands")
+    val oldBands = spark.read.schema(BandsSchema).parquet(s"$path/bands")
       .where(col("bh_pfx").isin(bhPfx.map(java.lang.Long.valueOf): _*))
 
     // 2. ONE pair stage over the merged bucket membership: old members of
@@ -224,7 +236,7 @@ object SignatureStore {
     val oldSh =
       if (docPfx.isEmpty)
         bSh.limit(0) // no cross pairs: no store read at all
-      else spark.read.parquet(s"$path/shingles")
+      else spark.read.schema(ShinglesSchema).parquet(s"$path/shingles")
         .where(col("doc_pfx").isin(docPfx.map(java.lang.Long.valueOf): _*))
         .join(broadcast(oldIds), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("sh"))
@@ -293,12 +305,13 @@ object SignatureStore {
         "monotone ingest ids. Re-number the batch or rebuild the store.")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
-    banded.select(col("doc_id"), col("band"), col("bh"))
+    banded.select(col("doc_id").cast("long").as("doc_id"), col("band"),
+        col("bh"))
       .withColumn("bh_pfx", pmod(col("bh"), lit(m.nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
       .write.mode("overwrite").partitionBy("bh_pfx")
       .parquet(s"$staging/bands")
-    shingleSets.select(col("doc_id"), col("sh"))
+    shingleSets.select(col("doc_id").cast("long").as("doc_id"), col("sh"))
       .withColumn("doc_pfx", pmod(col("doc_id"), lit(m.nPrefixes.toLong)))
       .repartition(col("doc_pfx"))
       .write.mode("overwrite").partitionBy("doc_pfx")
@@ -374,11 +387,11 @@ object SignatureStore {
       s"$path has an unfinished staged commit — run recover first")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
-    spark.read.parquet(s"$path/bands")
+    spark.read.schema(BandsSchema).parquet(s"$path/bands")
       .repartition(col("bh_pfx"))
       .write.mode("overwrite").partitionBy("bh_pfx")
       .parquet(s"$staging/bands")
-    spark.read.parquet(s"$path/shingles")
+    spark.read.schema(ShinglesSchema).parquet(s"$path/shingles")
       .repartition(col("doc_pfx"))
       .write.mode("overwrite").partitionBy("doc_pfx")
       .parquet(s"$staging/shingles")

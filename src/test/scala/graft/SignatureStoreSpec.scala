@@ -397,6 +397,31 @@ class SignatureStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("day-0 empty store: first probe works, appends build the corpus up") {
+    import spark.implicits._
+    // a streaming ingest starts from NOTHING: the store is written from
+    // an empty corpus (no data files at all), and the first micro-batch
+    // must probe it without tripping parquet schema inference
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_day0").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    SignatureStore.write(empty, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val b1 = Seq((1L, words("a"))).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, path, b1).count() == 0)
+    SignatureStore.append(spark, path, b1)
+    val b2 = Seq((2L, words("a") + " tail")).toDF("doc_id", "text")
+    val got = SignatureStore.probe(spark, path, b2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    // fold b2 in too, compact the young store, and probe against both
+    SignatureStore.append(spark, path, b2)
+    SignatureStore.compact(spark, path)
+    assert(SignatureStore.probe(spark, path,
+      Seq((3L, words("a") + " x")).toDF("doc_id", "text")).count() == 2)
+  }
+
   test("probe refuses a path without store metadata") {
     import spark.implicits._
     val batch = Seq((1L, "a b c d e")).toDF("doc_id", "text")
