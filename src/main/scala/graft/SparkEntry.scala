@@ -718,10 +718,15 @@ object SparkEntry {
     * ranking (kg08/kg11) or thresholded cosine verification (kg09) over
     * the staged candidates. kg09's vectors (base ∪ mutants) are staged
     * too so both engines read bit-identical floats. */
-  @volatile private var annStaged: Set[String] = Set.empty
+  // which dir the FIXED staging paths currently hold (the oracle SQL
+  // interpolates fixed paths, so they must always reflect the dir whose
+  // queries ran last — a per-dir memo with fixed paths would let a
+  // second dir silently clobber the first's staged candidates while
+  // both stayed marked staged)
+  @volatile private var annStagedFor: Option[String] = None
   private def stagedAnnCandidates(s: SparkSession, dir: String): Unit =
     synchronized {
-      if (!annStaged(dir)) {
+      if (!annStagedFor.contains(dir)) {
         val emb = tbl(s, dir, "embeddings")
         val q = emb.where(col("vec_id") === 0)
           .select(col("embedding")).collect()(0).getSeq[Float](0)
@@ -746,7 +751,7 @@ object SparkEntry {
           .where(col("ivf_list").isin(probes.map(Integer.valueOf): _*))
           .select(col("vec_id"))
           .write.mode("overwrite").parquet(s"$StageDir/kg11_candidates")
-        annStaged += dir
+        annStagedFor = Some(dir)
       }
     }
 

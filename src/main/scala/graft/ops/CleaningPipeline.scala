@@ -115,7 +115,13 @@ object CleaningPipeline {
     val drops = Dedup.clustersFromPairs(pairs)
       .where(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
-    val survivors = r2.join(drops, Seq("doc_id"), "left_anti")
+    val survivors0 = r2.join(drops, Seq("doc_id"), "left_anti")
+    // the store-append tail has THREE more consumers of the survivor
+    // frame (the watermark agg and two staged writes) plus the caller's
+    // own action — checkpoint once so each reads materialized rows
+    // instead of replaying the flagged-join + window + anti-join chain
+    val survivors =
+      if (storePath.isDefined) survivors0.localCheckpoint() else survivors0
 
     // stage 4: fold the cleaned corpus into the incremental store with
     // the signatures ALREADY computed in the staged pass (the journaled

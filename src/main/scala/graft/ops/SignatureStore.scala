@@ -79,7 +79,9 @@ object SignatureStore {
     val spark = docs.sparkSession
     // the ingest watermark for the monotone-id contract: one extra
     // doc_id-column-only pass next to the two full signature passes
-    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+    // (cast BEFORE the agg — an IntegerType doc_id must land on the
+    // long contract here too, not ClassCastException at getLong)
+    val maxRow = docs.agg(max(col("doc_id").cast("long"))).collect()(0)
     val maxDocId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
     deleteMeta(spark, path)
     Dedup.bandedSignatures(docs, k, bands, shingleN)
@@ -145,43 +147,58 @@ object SignatureStore {
       path: String,
       batch: DataFrame,
       maxBucket: Int = 64,
-      minJaccard: Double = 0.8
+      minJaccard: Double = 0.8,
+      allowReplay: Boolean = false
   ): DataFrame =
-    probeWithSignatures(spark, path, batch, maxBucket, minJaccard)._1
+    probeWithSignatures(spark, path, batch, maxBucket, minJaccard,
+      allowReplay)._1
 
   /** As [[probe]], additionally returning the batch's checkpointed band
     * keys and shingle sets — callers that go on to [[appendSignatures]]
     * (the streaming loop) reuse them instead of paying the signature
     * expression a second time over the survivors. */
+  /** `allowReplay` relaxes the monotone-id refusal for an AT-LEAST-ONCE
+    * replay of a batch that may already be in the store (the streaming
+    * loop's crash-retry path): pair semantics stay exact because the
+    * merged bucket membership deduplicates the batch's own stored rows,
+    * so a replayed probe emits the same pairs as the original. Leave it
+    * false everywhere a batch is genuinely new — the refusal is what
+    * catches non-monotone ingest numbering. */
   def probeWithSignatures(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
       maxBucket: Int = 64,
-      minJaccard: Double = 0.8
+      minJaccard: Double = 0.8,
+      allowReplay: Boolean = false
   ): (DataFrame, DataFrame, DataFrame) = {
     val m = readMeta(spark, path)
     val (k, bands, shingleN) = (m.k, m.bands, m.shingleN)
+    // normalize the id type ONCE at entry — everything downstream
+    // (unions with the long-typed store tables, the staged writes, the
+    // watermark agg) assumes the long contract
+    val b = batch.withColumn("doc_id", col("doc_id").cast("long"))
     // batch-side keys and shingles: batch-sized, computed ONCE (the
     // native MinHashSig expression is the dominant per-row cost — the
     // checkpointed keys feed both the prefix collect and the unified
     // pair stage below)
-    val bKeys = Dedup.bandedSignatures(batch, k, bands, shingleN)
+    val bKeys = Dedup.bandedSignatures(b, k, bands, shingleN)
       .localCheckpoint()
-    val bSh = Dedup.distinctShingleSets(batch, shingleN).localCheckpoint()
+    val bSh = Dedup.distinctShingleSets(b, shingleN).localCheckpoint()
 
     // monotone-ingest guard, off the checkpointed batch-sized table (no
     // extra lineage run): a batch id at or below the stored watermark
     // breaks keep-min-representative semantics downstream
     val minRow = bSh.agg(min(col("doc_id"))).collect()(0)
-    if (!minRow.isNullAt(0)) {
+    if (!minRow.isNullAt(0) && !allowReplay) {
       val minId = minRow.getLong(0)
       require(minId > m.maxDocId,
         s"batch min doc_id $minId <= the store's max ingested doc_id " +
           s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
           "monotone ingest ids (keep-min representatives assume stored " +
-          "ids are smaller than batch ids). Re-number the batch or " +
-          "rebuild the store.")
+          "ids are smaller than batch ids). Re-number the batch, rebuild " +
+          "the store, or pass allowReplay=true ONLY for an at-least-once " +
+          "replay of an already-ingested batch.")
     }
 
     // 1. band partitions the batch can possibly collide into: ≤ nPrefixes
@@ -253,18 +270,21 @@ object SignatureStore {
     * survivors so the NEXT batch dedups against them too). Band keys and
     * shingle sets are derived with the store's own metadata parameters
     * and appended into the existing prefix partitions. */
-  def append(spark: SparkSession, path: String, batch: DataFrame): Unit =
-    if (stageAppendBatch(spark, path, batch)) commitStaged(spark, path)
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      allowReplay: Boolean = false): Unit =
+    if (stageAppendBatch(spark, path, batch, allowReplay))
+      commitStaged(spark, path)
 
   /** [[stageAppend]] with the frames derived from the store's own
     * parameters (the [[append]] front half) — package-visible so specs
     * can simulate a crash between staging and commit. */
   private[graft] def stageAppendBatch(spark: SparkSession, path: String,
-      batch: DataFrame): Boolean = {
+      batch: DataFrame, allowReplay: Boolean = false): Boolean = {
     val m = readMeta(spark, path)
+    val b = batch.withColumn("doc_id", col("doc_id").cast("long"))
     stageAppend(spark, path,
-      Dedup.bandedSignatures(batch, m.k, m.bands, m.shingleN),
-      Dedup.distinctShingleSets(batch, m.shingleN))
+      Dedup.bandedSignatures(b, m.k, m.bands, m.shingleN),
+      Dedup.distinctShingleSets(b, m.shingleN), allowReplay)
   }
 
   /** Append PRE-COMPUTED band keys + shingle sets (must come from this
@@ -278,8 +298,10 @@ object SignatureStore {
     * metadata rewrite) is pure fast file moves, replayable by
     * [[recover]] after a crash. */
   def appendSignatures(spark: SparkSession, path: String,
-      banded: DataFrame, shingleSets: DataFrame): Unit = {
-    if (stageAppend(spark, path, banded, shingleSets)) commitStaged(spark, path)
+      banded: DataFrame, shingleSets: DataFrame,
+      allowReplay: Boolean = false): Unit = {
+    if (stageAppend(spark, path, banded, shingleSets, allowReplay))
+      commitStaged(spark, path)
   }
 
   /** First half of [[appendSignatures]]: the guard, the staged writes,
@@ -287,22 +309,26 @@ object SignatureStore {
     * batch. Package-private so specs can simulate a crash between
     * staging and commit. */
   private[graft] def stageAppend(spark: SparkSession, path: String,
-      banded: DataFrame, shingleSets: DataFrame): Boolean = {
+      banded: DataFrame, shingleSets: DataFrame,
+      allowReplay: Boolean = false): Boolean = {
     val m = readMeta(spark, path)
-    require(!journalPath(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(journalPath(path)),
+    require(!fs(spark, path).exists(journalPath(path)),
       s"$path has an unfinished staged commit (${journalPath(path)}) — " +
         "run SignatureStore.recover first")
     // monotone-ingest guard + the new watermark, one batch-sized job
+    // (cast before the agg — int-typed ids must not ClassCastException)
     val r = shingleSets
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .agg(min(col("doc_id").cast("long")).as("mn"),
+        max(col("doc_id").cast("long")).as("mx"))
       .collect()(0)
     if (r.isNullAt(0)) return false
     val (mn, mx) = (r.getLong(0), r.getLong(1))
-    require(mn > m.maxDocId,
+    require(allowReplay || mn > m.maxDocId,
       s"append batch min doc_id $mn <= the store's max ingested doc_id " +
         s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
-        "monotone ingest ids. Re-number the batch or rebuild the store.")
+        "monotone ingest ids. Re-number the batch, rebuild the store, or " +
+        "pass allowReplay=true ONLY for an at-least-once replay of an " +
+        "already-ingested batch.")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
     banded.select(col("doc_id").cast("long").as("doc_id"), col("band"),
@@ -331,6 +357,14 @@ object SignatureStore {
   private[graft] def commitStaged(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
     val j = readJournal(spark, path)
+    // validate the WHOLE commit plan before touching the live store: the
+    // journal write is atomic (temp + rename), but a corrupt journal must
+    // fail HERE — after deleteMeta a malformed meta payload would replace
+    // the good live metadata and brick the store the journal was supposed
+    // to protect
+    parseMeta(j.meta, s"journal ${journalPath(path)}")
+    require(j.op == "append" || j.op == "replace",
+      s"unknown journal op '${j.op}' in $path")
     val staging = new Path(s"$path/$StagingPrefix${j.token}")
     deleteMeta(spark, path)
     j.op match {
@@ -366,11 +400,29 @@ object SignatureStore {
   /** Repair a store whose staged commit was interrupted: if a commit
     * journal exists, replay the commit to completion and return true;
     * otherwise the store needs no recovery (false). After recover the
-    * store contains the staged batch and valid metadata — no re-ingest. */
+    * store contains the staged batch and valid metadata — no re-ingest.
+    *
+    * Either way, orphaned staging/trash directories are swept: a crash
+    * BEFORE the journal write leaves a staging dir no journal references
+    * (the live store was never touched, so the append is simply lost and
+    * will be retried by the caller) — safe to delete under the store's
+    * single-writer contract. */
   def recover(spark: SparkSession, path: String): Boolean = {
     val f = fs(spark, path)
-    if (!f.exists(journalPath(path))) false
-    else { commitStaged(spark, path); true }
+    val repaired =
+      if (!f.exists(journalPath(path))) false
+      else { commitStaged(spark, path); true }
+    // post-commit (or no-journal) sweep: nothing references staging or
+    // trash dirs anymore
+    if (f.exists(new Path(path))) {
+      f.listStatus(new Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+          (n.startsWith(StagingPrefix) || n.startsWith("_trash_")))
+          f.delete(st.getPath, true)
+      }
+    }
+    repaired
   }
 
   /** Rewrite both tables into one file per prefix partition — the
@@ -382,8 +434,7 @@ object SignatureStore {
     * unchanged (spec-asserted). */
   def compact(spark: SparkSession, path: String): Unit = {
     val m = readMeta(spark, path)
-    require(!journalPath(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(journalPath(path)),
+    require(!fs(spark, path).exists(journalPath(path)),
       s"$path has an unfinished staged commit — run recover first")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
@@ -457,10 +508,20 @@ object SignatureStore {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Atomic journal write: a crash mid-write must leave either no
+    * journal (the append is simply lost — live store untouched) or a
+    * COMPLETE one, never a truncated plan for recover to misapply. Local
+    * and HDFS renames are atomic; object stores without atomic rename
+    * still get the validation backstop in [[commitStaged]]. */
   private def writeJournal(spark: SparkSession, path: String,
       json: String): Unit = {
-    val out = fs(spark, path).create(journalPath(path), true)
+    val f = fs(spark, path)
+    val tmp = new Path(s"$path/._commit_journal.tmp")
+    val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    f.delete(journalPath(path), false)
+    require(f.rename(tmp, journalPath(path)),
+      s"rename $tmp -> ${journalPath(path)} failed")
   }
 
   private def readJournal(spark: SparkSession, path: String): Journal = {
@@ -494,16 +555,22 @@ object SignatureStore {
     val in = f.open(p)
     val json =
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    parseMeta(json, p.toString)
+  }
+
+  /** Parse + validate a metadata JSON payload — shared by [[readMeta]]
+    * and [[commitStaged]]'s pre-commit journal validation. */
+  private def parseMeta(json: String, where: String): Meta = {
     def field(name: String): Int = {
       val m = (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(json)
-      require(m.isDefined, s"malformed $p (missing $name): $json")
+      require(m.isDefined, s"malformed $where (missing $name): $json")
       m.get.group(1).toInt
     }
     val version =
       (""""sigVersion"\s*:\s*(\d+)""").r.findFirstMatchIn(json)
         .map(_.group(1).toInt).getOrElse(1)
     require(version == SigVersion,
-      s"$p was written with signature version $version, this engine " +
+      s"$where was written with signature version $version, this engine " +
         s"computes version $SigVersion — band hashes from different " +
         "versions never collide, so probing would silently admit every " +
         "near-duplicate. Re-ingest the store with SignatureStore.write.")

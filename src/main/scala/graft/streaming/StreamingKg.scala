@@ -159,8 +159,16 @@ object StreamingKg {
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          // allowReplay: foreachBatch is at-least-once, and a crash AFTER
+          // the store append but BEFORE the done-marker replays this
+          // epoch with ids already at/below the store watermark — the
+          // strict monotone refusal would wedge the query forever. A
+          // replayed probe is exact (the merged membership deduplicates
+          // the batch's own stored rows) and the replayed append's
+          // duplicate rows are probe-tolerated and compactable.
           val (pairs, bKeys, bSh) = graft.ops.SignatureStore
-            .probeWithSignatures(spark, storePath, b, maxBucket, minJaccard)
+            .probeWithSignatures(spark, storePath, b, maxBucket, minJaccard,
+              allowReplay = true)
           // keep-min representatives: stored ids are smaller than batch
           // ids by contract, so a cluster's rep is stored iff any stored
           // doc is in it — batch members drop unless they ARE the rep
@@ -173,7 +181,8 @@ object StreamingKg {
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           graft.ops.SignatureStore.appendSignatures(spark, storePath,
             bKeys.join(keep, Seq("doc_id"), "left_semi"),
-            bSh.join(keep, Seq("doc_id"), "left_semi"))
+            bSh.join(keep, Seq("doc_id"), "left_semi"),
+            allowReplay = true)
           val out = fs.create(marker, true)
           try out.write(Array.empty[Byte]) finally out.close()
         }

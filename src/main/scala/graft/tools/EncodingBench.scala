@@ -93,9 +93,10 @@ object EncodingBench {
     acc.toMap
   }
 
-  /** Warm decode floors at one core count: min over `reps` interleaved
-    * passes per variant (one untimed warm pass first). */
-  private def decodeFloors(cores: Int, reps: Int): Map[String, Double] = {
+  /** One warm decode pass per variant at `cores`, in a fresh session
+    * (in-session warm pass over every variant first — JIT + page cache).
+    * Returns wall seconds per variant. */
+  private def decodePass(cores: Int): Map[String, Double] = {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
@@ -107,12 +108,8 @@ object EncodingBench {
         spark.read.parquet(dir).select(sum(length(col("text")))).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      variants.foreach(v => scan(v.dir)) // warm: JIT + page cache
-      val walls = mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
-      (1 to reps).foreach { _ =>
-        variants.foreach(v => walls(v.name) = scan(v.dir) :: walls(v.name))
-      }
-      variants.map(v => v.name -> walls(v.name).min).toMap
+      variants.foreach(v => scan(v.dir)) // warm
+      variants.map(v => v.name -> scan(v.dir)).toMap
     } finally spark.stop()
   }
 
@@ -123,34 +120,47 @@ object EncodingBench {
     writeVariants(src, warmSrc)
 
     val sizes = variants.map(v => v.name -> columnBytes(v.dir)).toMap
-    // paired 2→8 window (back-to-back), then the 32-core floor
-    val f2 = decodeFloors(2, reps = 2)
-    val f8 = decodeFloors(8, reps = 3)
-    val f32 = decodeFloors(32, reps = 3)
+    // PAIRED 2→8 rounds — lo then hi back-to-back in the same contention
+    // window, exactly the ScalingBench discipline: host drift between
+    // separate lo/hi blocks would bias every variant's efficiency by the
+    // drift and could reorder the codec ranking this bench decides
+    val rounds = 2
+    val pairRounds = (1 to rounds).map(_ => (decodePass(2), decodePass(8)))
+    val f32 = {
+      val passes = (1 to 3).map(_ => decodePass(32))
+      variants.map(v => v.name -> passes.map(_(v.name)).min).toMap
+    }
 
     def textBytes(n: String) = sizes(n).getOrElse("text", 0L)
     def totalBytes(n: String) = sizes(n).values.sum
     val rows = variants.map { v =>
-      val eff = (f2(v.name) / f8(v.name)) / 4.0
-      (v.name, totalBytes(v.name), textBytes(v.name), f2(v.name),
-        f8(v.name), f32(v.name), eff)
+      val w2 = pairRounds.map(_._1(v.name)).min
+      val w8 = pairRounds.map(_._2(v.name)).min
+      val effs = pairRounds.map { case (lo, hi) =>
+        (lo(v.name) / hi(v.name)) / 4.0
+      }.sorted
+      val effMed = (effs(effs.size / 2) + effs((effs.size - 1) / 2)) / 2.0
+      (v.name, totalBytes(v.name), textBytes(v.name), w2, w8,
+        f32(v.name), effMed, effs)
     }
-    val json = "{\"variants\":{" + rows.map { case (n, tot, txt, w2, w8, w32, e) =>
-      f""""$n":{"total_bytes":$tot,"text_bytes":$txt,"decode2_sec":$w2%.2f,"decode8_sec":$w8%.2f,"decode32_sec":$w32%.2f,"eff_2_8":$e%.3f}"""
+    val json = "{\"variants\":{" + rows.map {
+      case (n, tot, txt, w2, w8, w32, e, effs) =>
+        f""""$n":{"total_bytes":$tot,"text_bytes":$txt,"decode2_sec":$w2%.2f,"decode8_sec":$w8%.2f,"decode32_sec":$w32%.2f,"eff_2_8_median_paired":$e%.3f,"paired_effs":[${effs.map(x => f"$x%.3f").mkString(",")}]}"""
     }.mkString(",") + "}}"
     println(json)
 
     val md = new StringBuilder
     md.append(s"\n## Text-encoding measurement (${java.time.Instant.now()})\n\n")
     md.append("20M-doc corpus rewritten in four parquet variants; warm\n")
-    md.append("`sum(length(text))` decode floors (min of interleaved passes, one\n")
-    md.append("session per core count so variants share each contention window);\n")
+    md.append("`sum(length(text))` decode walls, PAIRED protocol: each round runs\n")
+    md.append("a 2-core then an 8-core session back-to-back (fresh session each,\n")
+    md.append("in-session warm pass), per-round efficiency cancels host drift;\n")
     md.append("`text bytes` = compressed `text` column chunks from the footers —\n")
     md.append("the bytes a pruned text scan actually reads.\n\n")
-    md.append("| variant | total bytes | text bytes | 2c (s) | 8c (s) | 32c (s) | paired 2→8 eff |\n")
+    md.append("| variant | total bytes | text bytes | 2c best (s) | 8c best (s) | 32c best (s) | 2→8 eff (median paired) |\n")
     md.append("| --- | --- | --- | --- | --- | --- | --- |\n")
-    rows.foreach { case (n, tot, txt, w2, w8, w32, e) =>
-      md.append(f"| $n | $tot | $txt | $w2%.2f | $w8%.2f | $w32%.2f | $e%.3f |\n")
+    rows.foreach { case (n, tot, txt, w2, w8, w32, e, effs) =>
+      md.append(f"| $n | $tot | $txt | $w2%.2f | $w8%.2f | $w32%.2f | $e%.3f (${effs.map(x => f"$x%.3f").mkString("/")}) |\n")
     }
     md.append("\n```json\n" + json + "\n```\n")
     Files.write(Paths.get("BENCH.md"), md.toString.getBytes("UTF-8"),

@@ -278,6 +278,13 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(new java.io.File(path).listFiles()
       .forall(f => !f.getName.startsWith("_staging_") &&
         !f.getName.startsWith("_trash_")))
+    // a crash BEFORE the journal write (staging written, live store
+    // untouched) leaves an orphan staging dir — recover sweeps it even
+    // though there is nothing to replay
+    val orphan = new java.io.File(path, "_staging_000_orphan")
+    assert(orphan.mkdirs())
+    assert(!SignatureStore.recover(spark, path))
+    assert(!orphan.exists())
   }
 
   test("compact bounds per-partition file counts and preserves probe results") {
@@ -395,6 +402,43 @@ class SignatureStoreSpec extends AnyFunSuite {
       assert(canon(got) == canon(want),
         s"seed=$seed nOld=$nOld nBatch=$nBatch maxBucket=$maxBucket")
     }
+  }
+
+  test("allowReplay: a replayed already-appended batch probes identically and re-appends safely") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val corpus = (0L until 50L).map(i => (i, words(s"c$i")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_replay").toString
+    SignatureStore.write(corpus, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    // the batch: a near-dup of stored doc 7 + a fresh doc
+    val batch = Seq((100L, words("c7") + " tail"), (101L, words("f1")))
+      .toDF("doc_id", "text")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val first = canon(SignatureStore.probe(spark, path, batch).collect())
+    assert(first.map(t => (t._1, t._2)) == Set((7L, 100L)))
+    SignatureStore.append(spark, path, batch)
+    // the crash-retry path: the SAME batch replays after its append
+    // committed. Strict mode refuses (watermark), allowReplay probes
+    // with the original pair set — the batch's own stored rows fold into
+    // the merged membership instead of self-pairing
+    intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, batch).count()
+    }
+    val replay = canon(SignatureStore
+      .probe(spark, path, batch, allowReplay = true).collect())
+    assert(replay == first)
+    // the replayed append is also accepted and does not corrupt later
+    // probes (duplicate rows are probe-tolerated)
+    SignatureStore.append(spark, path, batch, allowReplay = true)
+    val next = Seq((200L, words("f1") + " x")).toDF("doc_id", "text")
+    val got = SignatureStore.probe(spark, path, next).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 200L)))
   }
 
   test("day-0 empty store: first probe works, appends build the corpus up") {
