@@ -158,12 +158,16 @@ object SignatureStore {
     * (the streaming loop) reuse them instead of paying the signature
     * expression a second time over the survivors. */
   /** `allowReplay` relaxes the monotone-id refusal for an AT-LEAST-ONCE
-    * replay of a batch that may already be in the store (the streaming
-    * loop's crash-retry path): pair semantics stay exact because the
-    * merged bucket membership deduplicates the batch's own stored rows,
-    * so a replayed probe emits the same pairs as the original. Leave it
-    * false everywhere a batch is genuinely new — the refusal is what
-    * catches non-monotone ingest numbering. */
+    * replay of a batch already folded into the store (the streaming
+    * loop's crash-retry path). The relaxation is a WINDOW, not an
+    * off-switch: it accepts the batch only when its ids sit ENTIRELY at
+    * or below the stored watermark — the signature of a true replay,
+    * provided the watermark was advanced to the full batch max at append
+    * time ([[appendSignatures]]' `advanceWatermarkTo`). A misnumbered
+    * source (ids straddling the watermark, or dipping below it on a
+    * batch that is not a replay of the last one) still refuses loudly.
+    * Replay pair semantics stay exact: the merged bucket membership
+    * deduplicates the batch's own stored rows. */
   def probeWithSignatures(
       spark: SparkSession,
       path: String,
@@ -189,16 +193,20 @@ object SignatureStore {
     // monotone-ingest guard, off the checkpointed batch-sized table (no
     // extra lineage run): a batch id at or below the stored watermark
     // breaks keep-min-representative semantics downstream
-    val minRow = bSh.agg(min(col("doc_id"))).collect()(0)
-    if (!minRow.isNullAt(0) && !allowReplay) {
-      val minId = minRow.getLong(0)
-      require(minId > m.maxDocId,
-        s"batch min doc_id $minId <= the store's max ingested doc_id " +
+    val r = bSh.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .collect()(0)
+    if (!r.isNullAt(0)) {
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val isNew = mn > m.maxDocId
+      val isReplay = allowReplay && mx <= m.maxDocId
+      require(isNew || isReplay,
+        s"batch doc_ids [$mn, $mx] vs the store's max ingested doc_id " +
           s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
           "monotone ingest ids (keep-min representatives assume stored " +
-          "ids are smaller than batch ids). Re-number the batch, rebuild " +
-          "the store, or pass allowReplay=true ONLY for an at-least-once " +
-          "replay of an already-ingested batch.")
+          "ids are smaller than batch ids). A true at-least-once replay " +
+          "sits entirely at or below the watermark and passes with " +
+          "allowReplay=true; anything else is a misnumbered source — " +
+          "re-number the batch or rebuild the store.")
     }
 
     // 1. band partitions the batch can possibly collide into: ≤ nPrefixes
@@ -284,7 +292,7 @@ object SignatureStore {
     val b = batch.withColumn("doc_id", col("doc_id").cast("long"))
     stageAppend(spark, path,
       Dedup.bandedSignatures(b, m.k, m.bands, m.shingleN),
-      Dedup.distinctShingleSets(b, m.shingleN), allowReplay)
+      Dedup.distinctShingleSets(b, m.shingleN), allowReplay, None)
   }
 
   /** Append PRE-COMPUTED band keys + shingle sets (must come from this
@@ -297,10 +305,17 @@ object SignatureStore {
     * commit plan; then the commit window (metadata delete → renames →
     * metadata rewrite) is pure fast file moves, replayable by
     * [[recover]] after a crash. */
+  /** `advanceWatermarkTo`: a caller appending a FILTERED slice of a batch
+    * (the streaming loop appends survivors only) passes the FULL batch's
+    * max id here, so a crash-replay of that batch — whose max may exceed
+    * the max surviving id — still falls entirely at or below the
+    * watermark and is recognized as a replay rather than refused. */
   def appendSignatures(spark: SparkSession, path: String,
       banded: DataFrame, shingleSets: DataFrame,
-      allowReplay: Boolean = false): Unit = {
-    if (stageAppend(spark, path, banded, shingleSets, allowReplay))
+      allowReplay: Boolean = false,
+      advanceWatermarkTo: Option[Long] = None): Unit = {
+    if (stageAppend(spark, path, banded, shingleSets, allowReplay,
+        advanceWatermarkTo))
       commitStaged(spark, path)
   }
 
@@ -310,7 +325,8 @@ object SignatureStore {
     * staging and commit. */
   private[graft] def stageAppend(spark: SparkSession, path: String,
       banded: DataFrame, shingleSets: DataFrame,
-      allowReplay: Boolean = false): Boolean = {
+      allowReplay: Boolean = false,
+      advanceWatermarkTo: Option[Long] = None): Boolean = {
     val m = readMeta(spark, path)
     require(!fs(spark, path).exists(journalPath(path)),
       s"$path has an unfinished staged commit (${journalPath(path)}) — " +
@@ -323,12 +339,15 @@ object SignatureStore {
       .collect()(0)
     if (r.isNullAt(0)) return false
     val (mn, mx) = (r.getLong(0), r.getLong(1))
-    require(allowReplay || mn > m.maxDocId,
-      s"append batch min doc_id $mn <= the store's max ingested doc_id " +
-        s"${m.maxDocId} ($path) — incremental dedup requires strictly " +
-        "monotone ingest ids. Re-number the batch, rebuild the store, or " +
-        "pass allowReplay=true ONLY for an at-least-once replay of an " +
-        "already-ingested batch.")
+    require(mn > m.maxDocId ||
+      (allowReplay && math.max(mx, advanceWatermarkTo.getOrElse(mx))
+        <= m.maxDocId),
+      s"append batch doc_ids [$mn, $mx] vs the store's max ingested " +
+        s"doc_id ${m.maxDocId} ($path) — incremental dedup requires " +
+        "strictly monotone ingest ids. A true at-least-once replay sits " +
+        "entirely at or below the watermark and passes with " +
+        "allowReplay=true; anything else is a misnumbered source — " +
+        "re-number the batch or rebuild the store.")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
     banded.select(col("doc_id").cast("long").as("doc_id"), col("band"),
@@ -343,7 +362,7 @@ object SignatureStore {
       .write.mode("overwrite").partitionBy("doc_pfx")
       .parquet(s"$staging/shingles")
     val newMeta = metaJson(m.nPrefixes, m.k, m.bands, m.shingleN,
-      math.max(m.maxDocId, mx))
+      math.max(m.maxDocId, math.max(mx, advanceWatermarkTo.getOrElse(mx))))
     writeJournal(spark, path,
       s"""{"op":"append","token":"$token","meta":$newMeta}""")
     true
@@ -390,7 +409,8 @@ object SignatureStore {
           }
         }
         f.delete(trash, true)
-      case other => sys.error(s"unknown journal op '$other' in $path")
+      case other => // unreachable: validated before the commit window
+        throw new IllegalStateException(s"op '$other' passed validation")
     }
     writeMeta(spark, path, j.meta)
     f.delete(staging, true)
@@ -417,9 +437,12 @@ object SignatureStore {
     if (f.exists(new Path(path))) {
       f.listStatus(new Path(path)).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory &&
-          (n.startsWith(StagingPrefix) || n.startsWith("_trash_")))
-          f.delete(st.getPath, true)
+        val orphanDir = st.isDirectory &&
+          (n.startsWith(StagingPrefix) || n.startsWith("_trash_"))
+        // a crash between the tmp-journal write and its rename leaves
+        // the tmp file behind — same orphan class, swept the same way
+        val orphanTmp = !st.isDirectory && n == "._commit_journal.tmp"
+        if (orphanDir || orphanTmp) f.delete(st.getPath, true)
       }
     }
     repaired

@@ -158,14 +158,23 @@ object StreamingKg {
           s"$storePath/_batch_${batchId}_done")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
+          // a crash INSIDE a previous epoch's commit window leaves a
+          // journal (and possibly no metadata) — replay the staged
+          // commit before probing, or every restart refuses forever.
+          // No-op (one existence check) on a healthy store.
+          graft.ops.SignatureStore.recover(spark, storePath)
           val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-          // allowReplay: foreachBatch is at-least-once, and a crash AFTER
+          // allowReplay: foreachBatch is at-least-once — a crash AFTER
           // the store append but BEFORE the done-marker replays this
-          // epoch with ids already at/below the store watermark — the
-          // strict monotone refusal would wedge the query forever. A
-          // replayed probe is exact (the merged membership deduplicates
-          // the batch's own stored rows) and the replayed append's
-          // duplicate rows are probe-tolerated and compactable.
+          // epoch with ids already at/below the store watermark. The
+          // relaxation is windowed, not blanket: the store accepts the
+          // batch only if it sits ENTIRELY at or below the watermark
+          // (the append below advances it to the FULL batch max for
+          // exactly this test), so a genuinely misnumbered source still
+          // fails loudly. A replayed probe is exact (the merged
+          // membership deduplicates the batch's own stored rows) and the
+          // replayed append's duplicate rows are probe-tolerated and
+          // compactable.
           val (pairs, bKeys, bSh) = graft.ops.SignatureStore
             .probeWithSignatures(spark, storePath, b, maxBucket, minJaccard,
               allowReplay = true)
@@ -179,10 +188,17 @@ object StreamingKg {
             .select(col("doc_id")).localCheckpoint()
           b.join(keep, Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          // watermark advances to the FULL batch max (not the surviving
+          // max): a replay of this batch must fall entirely at or below
+          // the watermark even when its largest doc was dropped
+          val fullMaxRow = b.agg(
+            org.apache.spark.sql.functions.max(col("doc_id"))).collect()(0)
+          val fullMax =
+            if (fullMaxRow.isNullAt(0)) None else Some(fullMaxRow.getLong(0))
           graft.ops.SignatureStore.appendSignatures(spark, storePath,
             bKeys.join(keep, Seq("doc_id"), "left_semi"),
             bSh.join(keep, Seq("doc_id"), "left_semi"),
-            allowReplay = true)
+            allowReplay = true, advanceWatermarkTo = fullMax)
           val out = fs.create(marker, true)
           try out.write(Array.empty[Byte]) finally out.close()
         }

@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *  - bytes at rest, total and PER COLUMN (compressed column-chunk sizes
   *    from the parquet footers — the `text` chunks are the bytes a
   *    pruned text scan actually touches);
-  *  - warm decode floors of `sum(length(text))` at 2, 8, and 32 cores,
-  *    reps interleaved across variants inside one session per core count
-  *    so every variant sees the same contention window;
-  *  - the paired 2→8 decode efficiency per variant.
+  *  - warm `sum(length(text))` decode walls under the PAIRED protocol:
+  *    each round runs a fresh 2-core session then a fresh 8-core session
+  *    back-to-back (in-session warm pass over every variant first), so
+  *    per-round efficiencies cancel host drift exactly like
+  *    [[graft.ScalingBench]]; the 32-core floor is a separate
+  *    min-of-sessions block;
+  *  - the paired 2→8 decode efficiency per variant (median over rounds).
   *
   * Prints one JSON line and appends a BENCH.md section. The winner's
   * full-pipeline ladder is run separately via `ScalingBench` with the

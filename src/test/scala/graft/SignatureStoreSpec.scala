@@ -439,6 +439,18 @@ class SignatureStoreSpec extends AnyFunSuite {
     val got = SignatureStore.probe(spark, path, next).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((101L, 200L)))
+    // allowReplay is a WINDOW, not an off-switch: a batch straddling the
+    // watermark (one id below, one above) is a misnumbered source, not a
+    // replay — it must refuse even with the flag
+    val mixed = Seq((99L, words("m1")), (300L, words("m2")))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, mixed, allowReplay = true).count()
+    }
+    assert(e.getMessage.contains("misnumbered"))
+    intercept[IllegalArgumentException] {
+      SignatureStore.append(spark, path, mixed, allowReplay = true)
+    }
   }
 
   test("day-0 empty store: first probe works, appends build the corpus up") {
