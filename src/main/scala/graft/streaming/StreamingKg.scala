@@ -201,6 +201,20 @@ object StreamingKg {
             allowReplay = true, advanceWatermarkTo = fullMax)
           val out = fs.create(marker, true)
           try out.write(Array.empty[Byte]) finally out.close()
+          // marker lifecycle: epoch N can only replay until epoch N+1
+          // starts (Structured Streaming commits N's offsets first), so
+          // every marker below the current id is dead — sweep them or a
+          // long-running query accumulates one small file per micro-batch
+          // in the store root forever
+          val MarkerRe = "_batch_(\\d+)_done".r
+          fs.listStatus(new org.apache.hadoop.fs.Path(storePath)).foreach {
+            st =>
+              st.getPath.getName match {
+                case MarkerRe(id) if id.toLong < batchId =>
+                  fs.delete(st.getPath, false)
+                case _ => ()
+              }
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -116,6 +116,41 @@ class PlanSpec extends AnyFunSuite {
       scan)
   }
 
+  test("cleaning pipeline: staged one-pass projection codegens off a pruned scan; bench probe broadcasts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_clean").toString
+    (0L until 200L)
+      .map(i => (i, "de", (1 to 20).map(t => s"w${i}_$t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    // THE text pass of CleaningPipeline.cleanedMeta: hash + shingles +
+    // signature in one projection — it must stay inside WholeStageCodegen
+    // (the two native expressions codegen) and column-prune the scan
+    val staged = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("_h"),
+      graft.ops.Dedup.distinctShingles(col("text"), 3).as("sh"),
+      graft.ops.Dedup.minhashSignature(col("text"), 32, 3).as("sig"))
+    // `*(n)` is the WholeStageCodegen marker in the simple plan string —
+    // the projection with both native expressions must carry it (a
+    // CodegenFallback expression would leave an unstarred Project)
+    val p = planString(staged)
+    assert(p.contains("*(1) Project") && p.contains("graft_word_shingles")
+      && p.contains("graft_minhash_sig"), p)
+    val scan = staged.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      scan)
+    // the contamination probe: the exploded benchmark side must
+    // broadcast — the corpus shingles stream map-side, never shuffle
+    val bench = Seq((900L, (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("bench_id", "text")
+    val rep = graft.ops.Decontaminate.contaminationReportOnShingles(
+      staged.select(col("doc_id"), col("sh")), bench)
+    rep.count() // finalize AQE
+    assert(planString(rep).contains("BroadcastHashJoin"), planString(rep))
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -167,6 +167,12 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       // 200 dups the appended 101; 202 dups 201 within the batch
       assert(out2 == Set(101L, 201L, 203L))
+      // dead done-markers are swept: epoch 0's marker is gone once
+      // epoch 1 has run (only the current epoch can ever replay), so a
+      // long-running query doesn't accumulate one file per micro-batch
+      val markers = new java.io.File(store).listFiles()
+        .map(_.getName).filter(_.matches("_batch_\\d+_done")).toSet
+      assert(markers == Set("_batch_1_done"), markers.toString)
     } finally q.stop()
   }
 }
