@@ -86,6 +86,66 @@ class CleaningPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands"))
   }
 
+  test("property: composed chain ≡ independent stages on seeded random corpora") {
+    import spark.implicits._
+    // the one-pass composition must be EXACTLY the three standalone
+    // operators chained — same flags, same keep-mins, same clusters —
+    // under inputs nobody hand-picked: mutation-heavy corpora (exact
+    // dups, near-dups, chains), benchmarks excerpted from corpus docs
+    // (guaranteed contamination), and a bucket cap that sometimes bites
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = (0 until 30).map(i => s"v$i")
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      def freshText(): String = {
+        val n = 8 + rnd.nextInt(14)
+        (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      def nextText(): String = {
+        val t =
+          if (texts.nonEmpty && rnd.nextInt(10) < 6) {
+            val base = texts(rnd.nextInt(texts.size))
+            rnd.nextInt(3) match {
+              case 0 => base // exact dup
+              case 1 => base + " " + vocab(rnd.nextInt(vocab.size))
+              case _ =>
+                val toks = base.split(" ")
+                toks.updated(rnd.nextInt(toks.length),
+                  vocab(rnd.nextInt(vocab.size))).mkString(" ")
+            }
+          } else freshText()
+        texts += t
+        t
+      }
+      val n = 20 + rnd.nextInt(40)
+      val docs = (0 until n).map(i => (i.toLong, nextText()))
+        .toDF("doc_id", "text")
+      // bench: excerpts of a few corpus docs → some docs must flag
+      val bench = (0 until 1 + rnd.nextInt(3)).map { j =>
+        (900L + j,
+          texts(rnd.nextInt(texts.size)).split(" ").take(10).mkString(" "))
+      }.toDF("bench_id", "text")
+      val (maxBucket, minOverlap) =
+        (if (rnd.nextBoolean()) 2 else 64, 1 + rnd.nextInt(4))
+
+      val composed = CleaningPipeline.cleanedMeta(docs, bench, Nil,
+        k = 32, bands = 16, shingleN = 3, maxBucket = maxBucket,
+        minJaccard = 0.8, minOverlap = minOverlap)
+        .collect().map(_.getLong(0)).toSet
+      val independent = graft.ops.Dedup.nearDupDedup(
+        graft.ops.Dedup.exactDedup(
+          graft.ops.Decontaminate.decontaminate(docs, bench,
+            shingleN = 3, minOverlap = minOverlap)),
+        k = 32, bands = 16, shingleN = 3, maxBucket = maxBucket,
+        minJaccard = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(composed == independent,
+        s"seed=$seed n=$n maxBucket=$maxBucket minOverlap=$minOverlap: " +
+          s"only-composed=${composed -- independent} " +
+          s"only-independent=${independent -- composed}")
+    }
+  }
+
   test("corpus text is read exactly once across the whole chain") {
     import spark.implicits._
     // byte-level FS statistics can't see Spark 4's local-parquet fast
