@@ -53,6 +53,12 @@ object CleaningPipeline {
     * output is metadata-only by design — joining text back in is the
     * caller's write-side concern ([[clean]]) and the only place a second
     * text scan can occur. */
+  /** `allowStoreReplay`: a RE-RUN of the same cleaning job after its
+    * store append already committed re-appends the same survivors —
+    * with strict monotone checking the retry refuses on the watermark.
+    * Pass true for an idempotent re-run (the store's windowed replay
+    * gate still refuses genuinely misnumbered ids; duplicate rows are
+    * probe-tolerated and compactable). */
   def cleanedMeta(
       docs: DataFrame,
       bench: DataFrame,
@@ -65,7 +71,8 @@ object CleaningPipeline {
       minOverlap: Int = 5,
       minRatio: Double = 0.0,
       broadcastBench: Boolean = true,
-      storePath: Option[String] = None
+      storePath: Option[String] = None,
+      allowStoreReplay: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
     // the store's banding must equal the pipeline's or the appended rows
@@ -131,7 +138,8 @@ object CleaningPipeline {
         Dedup.bandRowsFromSigs(
           survivors.where(size(col("sh")) > 0)
             .select(col("doc_id"), col("sig")), k, bands),
-        survivors.select(col("doc_id"), col("sh")))
+        survivors.select(col("doc_id"), col("sh")),
+        allowReplay = allowStoreReplay)
     }
 
     survivors.select(Seq(col("doc_id")) ++ keep: _*)

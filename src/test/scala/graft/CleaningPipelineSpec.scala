@@ -68,6 +68,23 @@ class CleaningPipelineSpec extends AnyFunSuite {
     val got5 = SignatureStore.probe(spark, store, probe5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got5 == Set((3L, 102L)))
+
+    // re-running the same job refuses on the watermark by default
+    // (misnumbered-source protection), and succeeds idempotently as a
+    // declared replay — survivors unchanged, the store still answers
+    intercept[IllegalArgumentException] {
+      CleaningPipeline.cleanedMeta(docs, bench, keepCols = Seq("lang"),
+        k = 32, bands = 16, shingleN = 3, maxBucket = 64,
+        minJaccard = 0.8, minOverlap = 5, storePath = Some(store)).count()
+    }
+    val rerun = CleaningPipeline.cleanedMeta(docs, bench,
+      keepCols = Seq("lang"), k = 32, bands = 16, shingleN = 3,
+      maxBucket = 64, minJaccard = 0.8, minOverlap = 5,
+      storePath = Some(store), allowStoreReplay = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(rerun == keptIds)
+    assert(SignatureStore.probe(spark, store, probe6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 100L)))
   }
 
   test("pipeline refuses a store with different banding parameters") {
