@@ -162,10 +162,12 @@ object CleaningPipeline {
       minOverlap: Int = 5,
       minRatio: Double = 0.0,
       broadcastBench: Boolean = true,
-      storePath: Option[String] = None
+      storePath: Option[String] = None,
+      allowStoreReplay: Boolean = false
   ): DataFrame =
     docs.join(
       cleanedMeta(docs, bench, Nil, k, bands, shingleN, maxBucket,
-        minJaccard, minOverlap, minRatio, broadcastBench, storePath),
+        minJaccard, minOverlap, minRatio, broadcastBench, storePath,
+        allowStoreReplay),
       Seq("doc_id"), "left_semi")
 }
