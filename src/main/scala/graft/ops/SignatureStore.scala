@@ -55,12 +55,57 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the metadata — no corpus re-ingest. A crash BEFORE the journal leaves
   * the live store untouched. [[compact]] uses the same journaled
   * discipline with whole-directory swaps.
+  *
+  * SINGLE-WRITER CONTRACT: at most one process appends/compacts a store
+  * at a time (the streaming loop, a batch ingest, or an operator — never
+  * two concurrently). The journal serializes RECOVERY, not concurrent
+  * writers: two simultaneous staged commits would interleave their
+  * metadata rewrites and one batch's watermark advance would be lost.
+  * Concurrent READS (probes) against a store being appended are safe —
+  * the live tables and metadata stay valid until the commit window, and
+  * the window itself is rename-only. Multi-writer deployments shard by
+  * store path (one store per ingest partition) rather than locking.
   */
 object SignatureStore {
+
+  /** Create an EMPTY store — the day-0 entry point for a streaming
+    * ingest that starts from nothing (the quickstart otherwise needs a
+    * synthetic empty DataFrame through [[write]]). Just the metadata and
+    * the two (empty) table directories: reads supply explicit schemas,
+    * so an empty store probes/appends normally, and the first append
+    * establishes the watermark. Refuses a path that already holds a
+    * store (init is creation, not reset — rebuilding goes through
+    * [[write]]). */
+  def init(
+      spark: SparkSession,
+      path: String,
+      nPrefixes: Int = 64,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3
+  ): Unit = {
+    val f = fs(spark, path)
+    require(!f.exists(metaPath(path)),
+      s"$path already holds a signature store — init creates new stores " +
+        "only; re-ingest an existing one with SignatureStore.write")
+    f.mkdirs(new Path(s"$path/bands"))
+    f.mkdirs(new Path(s"$path/shingles"))
+    writeMeta(spark, path,
+      metaJson(nPrefixes, k, bands, shingleN, Long.MinValue))
+  }
 
   /** Ingest-time write: band keys + shingle sets for `docs(doc_id, text)`,
     * partitioned for probe-time pruning. `nPrefixes` trades partition
     * count against pruning granularity (web scale: 1024+).
+    *
+    * ONE corpus text pass (spec-asserted via filesystem read statistics,
+    * the [[CleaningPipeline]] staging move): id + distinct shingle set +
+    * MinHash signature are computed in a single codegen'd projection and
+    * eagerly checkpointed; the watermark agg, the band derivation, and
+    * the shingle-table write all read the staged id/array frame — the
+    * historical three-scan form (max agg + signature pass + shingle
+    * pass) read the corpus text three times, and the text scan IS the
+    * dominant ingest cost.
     *
     * Failure discipline: the metadata file is DELETED first and rewritten
     * only after both data writes succeed, so a mid-write crash leaves a
@@ -77,22 +122,31 @@ object SignatureStore {
       shingleN: Int = 3
   ): Unit = {
     val spark = docs.sparkSession
-    // the ingest watermark for the monotone-id contract: one extra
-    // doc_id-column-only pass next to the two full signature passes
-    // (cast BEFORE the agg — an IntegerType doc_id must land on the
-    // long contract here too, not ClassCastException at getLong)
-    val maxRow = docs.agg(max(col("doc_id").cast("long"))).collect()(0)
+    // THE text pass (cast at entry — an IntegerType doc_id must land on
+    // the long contract here too, not ClassCastException at getLong).
+    // Eager checkpoint: a lazy frame would let the three consumers below
+    // race back into the text scan independently.
+    val staged = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+      Dedup.minhashSignature(col("text"), k, shingleN).as("sig"))
+      .localCheckpoint()
+    // the ingest watermark for the monotone-id contract, off the staged
+    // id column
+    val maxRow = staged.agg(max(col("doc_id"))).collect()(0)
     val maxDocId = if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
     deleteMeta(spark, path)
-    Dedup.bandedSignatures(docs, k, bands, shingleN)
-      .select(col("doc_id").cast("long").as("doc_id"), col("band"),
-        col("bh"))
+    // band derivation from the staged signatures — the same sub-shingle
+    // gate as the batch path (no shingles → no banding; an all-MaxValue
+    // signature would collide every short doc into one degenerate bucket)
+    Dedup.bandRowsFromSigs(
+        staged.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
+        k, bands)
       .withColumn("bh_pfx", pmod(col("bh"), lit(nPrefixes.toLong)))
       .repartition(col("bh_pfx"))
       .write.mode("overwrite").partitionBy("bh_pfx")
       .parquet(s"$path/bands")
-    Dedup.distinctShingleSets(docs, shingleN)
-      .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
+    staged.select(col("doc_id"), col("sh"))
       .withColumn("doc_pfx", pmod(col("doc_id"), lit(nPrefixes.toLong)))
       .repartition(col("doc_pfx"))
       .write.mode("overwrite").partitionBy("doc_pfx")
@@ -105,6 +159,11 @@ object SignatureStore {
     // batch hashes, so a version drift would silently admit every
     // near-duplicate; readMeta refuses loudly instead.
     writeMeta(spark, path, metaJson(nPrefixes, k, bands, shingleN, maxDocId))
+    // the staged blocks are ingest-transient — free them now instead of
+    // waiting for GC (Dataset.unpersist alone leaves localCheckpoint's
+    // raw-row blocks alive)
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .unpersistLocalCheckpoint(staged)
   }
 
   /** The store tables' fixed schemas (partition column included). Reads
@@ -363,8 +422,7 @@ object SignatureStore {
       .parquet(s"$staging/shingles")
     val newMeta = metaJson(m.nPrefixes, m.k, m.bands, m.shingleN,
       math.max(m.maxDocId, math.max(mx, advanceWatermarkTo.getOrElse(mx))))
-    writeJournal(spark, path,
-      s"""{"op":"append","token":"$token","meta":$newMeta}""")
+    writeJournal(spark, path, journalJson("append", token, newMeta))
     true
   }
 
@@ -469,9 +527,8 @@ object SignatureStore {
       .repartition(col("doc_pfx"))
       .write.mode("overwrite").partitionBy("doc_pfx")
       .parquet(s"$staging/shingles")
-    writeJournal(spark, path,
-      s"""{"op":"replace","token":"$token","meta":${metaJson(
-        m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)}}""")
+    writeJournal(spark, path, journalJson("replace", token,
+      metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
     commitStaged(spark, path)
   }
 
@@ -547,20 +604,45 @@ object SignatureStore {
       s"rename $tmp -> ${journalPath(path)} failed")
   }
 
+  /** The journal's pinned wire layout. The explicit `jv` field makes
+    * format drift fail LOUDLY at read time instead of silently
+    * mis-slicing the meta payload; [[readJournal]] refuses any version it
+    * does not know. Bump [[JournalVersion]] whenever the field set or
+    * order changes. */
+  private val JournalVersion = 1
+  private def journalJson(op: String, token: String, meta: String): String =
+    s"""{"jv":$JournalVersion,"op":"$op","token":"$token","meta":$meta}"""
+
   private def readJournal(spark: SparkSession, path: String): Journal = {
     val f = fs(spark, path)
     val in = f.open(journalPath(path))
     val json =
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    // version gate first: a journal written by a different layout must
+    // refuse here, not be sliced by this version's anchors
+    val jv = (""""jv"\s*:\s*(\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+    require(jv.contains(JournalVersion),
+      s"journal ${journalPath(path)} has format version " +
+        s"${jv.map(_.toString).getOrElse("<missing>")}, this engine " +
+        s"reads version $JournalVersion — the store needs recovery by " +
+        "the engine version that wrote the journal (journals are " +
+        "transient: none should outlive an upgrade)")
+    // meta is the LAST field by the pinned layout: anchor its extraction
+    // on that, and parse op/token ONLY from the prefix before it so a
+    // future meta payload containing "op"/"token"-shaped text can never
+    // shadow the real fields
+    val metaIdx = json.indexOf(""""meta":""")
+    require(metaIdx >= 0 && json.endsWith("}"),
+      s"malformed journal (no meta tail): $json")
+    val meta = json.substring(metaIdx + 7, json.length - 1)
+    require(meta.startsWith("{") && meta.endsWith("}"),
+      s"malformed journal meta payload: $meta")
+    val head = json.substring(0, metaIdx)
     def str(name: String): String =
-      (s""""$name"\\s*:\\s*"([^"]+)"""").r.findFirstMatchIn(json)
+      (s""""$name"\\s*:\\s*"([^"]+)"""").r.findFirstMatchIn(head)
         .getOrElse(sys.error(s"malformed journal (missing $name): $json"))
         .group(1)
-    val metaIdx = json.indexOf("\"meta\":")
-    require(metaIdx >= 0, s"malformed journal (missing meta): $json")
-    // meta is the LAST field: everything from its '{' to the journal's
-    // closing brace
-    val meta = json.substring(metaIdx + 7, json.length - 1)
     Journal(str("op"), str("token"), meta)
   }
 

@@ -163,7 +163,13 @@ object StreamingKg {
           // commit before probing, or every restart refuses forever.
           // No-op (one existence check) on a healthy store.
           graft.ops.SignatureStore.recover(spark, storePath)
-          val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+          // normalize the id type at entry (the store's long contract —
+          // SignatureStore casts everywhere for exactly this reason): an
+          // int-typed doc_id source must not ClassCastException at the
+          // watermark agg's getLong below
+          val b = batch
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .localCheckpoint()
           // allowReplay: foreachBatch is at-least-once — a crash AFTER
           // the store append but BEFORE the done-marker replays this
           // epoch with ids already at/below the store watermark. The

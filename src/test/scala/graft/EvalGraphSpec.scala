@@ -279,11 +279,19 @@ class EvalGraphSpec extends AnyFunSuite {
 
     val beforeIds = sc.getRDDStorageInfo.map(_.id).toSet
     val (labels, rounds) = ConnectedComponents.runCounted(edges)
-    // the loop frees checkpoints with unpersist(blocking = false) — give
-    // the block manager a moment, then measure what this run STILL holds
-    Thread.sleep(500)
-    val measured = sc.getRDDStorageInfo.filterNot(i => beforeIds(i.id))
-      .map(i => i.memSize + i.diskSize).sum
+    // the loop frees checkpoints with unpersist(blocking = false) — POLL
+    // until the residual drops under the bound (or a generous timeout on
+    // a loaded host) instead of a fixed sleep: a slow async unpersist
+    // must delay the measurement, never flip the assertion
+    def residual(): Long = sc.getRDDStorageInfo
+      .filterNot(i => beforeIds(i.id)).map(i => i.memSize + i.diskSize).sum
+    val pollBound = (perRow2 * (nSymRows + 2 * nNodes) * 1.35).toLong
+    val deadline = System.nanoTime() + 15L * 1000000000L
+    var measured = residual()
+    while (measured >= pollBound && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      measured = residual()
+    }
     assert(labels.count() == nNodes)
     assert(rounds >= 3, s"fixture too shallow for the payload assertion: $rounds")
     // What REMAINS persisted after the run must be bounded and compact:

@@ -455,14 +455,19 @@ class SignatureStoreSpec extends AnyFunSuite {
 
   test("day-0 empty store: first probe works, appends build the corpus up") {
     import spark.implicits._
-    // a streaming ingest starts from NOTHING: the store is written from
-    // an empty corpus (no data files at all), and the first micro-batch
-    // must probe it without tripping parquet schema inference
+    // a streaming ingest starts from NOTHING: the store is created with
+    // init (no synthetic empty DataFrame, no data files at all), and the
+    // first micro-batch must probe it without tripping parquet schema
+    // inference
     val path = java.nio.file.Files
       .createTempDirectory("graft_sigstore_day0").toString
-    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    SignatureStore.write(empty, path, nPrefixes = 16, k = 32, bands = 16,
+    SignatureStore.init(spark, path, nPrefixes = 16, k = 32, bands = 16,
       shingleN = 3)
+    // init is creation only — a second init on a live store refuses
+    val e0 = intercept[IllegalArgumentException] {
+      SignatureStore.init(spark, path)
+    }
+    assert(e0.getMessage.contains("already holds"))
     def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
     val b1 = Seq((1L, words("a"))).toDF("doc_id", "text")
     assert(SignatureStore.probe(spark, path, b1).count() == 0)
@@ -486,5 +491,62 @@ class SignatureStoreSpec extends AnyFunSuite {
         .count()
     }
     assert(e.getMessage.contains("_store_meta.json"))
+  }
+
+  test("write on an empty corpus ≡ init: empty tables, MinValue watermark") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_emptyw").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    SignatureStore.write(empty, path, nPrefixes = 16, k = 32, bands = 16,
+      shingleN = 3)
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val b1 = Seq((1L, words("a"))).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, path, b1).count() == 0)
+    SignatureStore.append(spark, path, b1)
+    val got = SignatureStore.probe(spark, path,
+      Seq((2L, words("a") + " tail")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("ingest reads corpus text exactly once (one staged pass)") {
+    import spark.implicits._
+    // the CleaningPipeline one-pass discipline applied to write: shingle
+    // set + signature + watermark from ONE staged projection. Counted
+    // through CountingLocalFs (Spark 4's local-parquet fast path bypasses
+    // Hadoop byte statistics) and self-calibrated against a single plain
+    // scan of the same table — the historical 3-scan ingest opened ~3×.
+    spark.sparkContext.hadoopConfiguration.set("fs.cntfs.impl",
+      classOf[CountingLocalFs].getName)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_once").toString
+    (0L until 2000L)
+      .map(i => (i, (1 to 30).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+
+    CountingLocalFs.reset()
+    spark.read.parquet(s"cntfs:$dir/docs")
+      .agg(sum(length(col("text")))).collect()
+    val oneScanOpens = CountingLocalFs.parquetOpens()
+    assert(oneScanOpens >= 8, s"calibration degenerate: $oneScanOpens")
+
+    CountingLocalFs.reset()
+    SignatureStore.write(spark.read.parquet(s"cntfs:$dir/docs"),
+      s"$dir/store", nPrefixes = 16, k = 32, bands = 16, shingleN = 3)
+    val ingestOpens = CountingLocalFs.parquetOpens()
+    info(s"corpus file opens: one scan = $oneScanOpens, " +
+      s"ingest = $ingestOpens")
+    assert(ingestOpens == oneScanOpens,
+      s"ingest opened corpus files $ingestOpens times vs $oneScanOpens " +
+        "for a single scan — text read more than once?")
+
+    // and the store it writes is a working one
+    val probe = Seq((10000L, (1 to 30).map(t => s"c7_$t").mkString(" ")
+      + " x")).toDF("doc_id", "text")
+    val got = SignatureStore.probe(spark, s"$dir/store", probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 10000L)))
   }
 }
