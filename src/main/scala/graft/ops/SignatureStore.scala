@@ -440,7 +440,7 @@ object SignatureStore {
     // the good live metadata and brick the store the journal was supposed
     // to protect
     parseMeta(j.meta, s"journal ${journalPath(path)}")
-    require(j.op == "append" || j.op == "replace",
+    require(j.op == "append" || j.op == "replace" || j.op == "replace_parts",
       s"unknown journal op '${j.op}' in $path")
     val staging = new Path(s"$path/$StagingPrefix${j.token}")
     deleteMeta(spark, path)
@@ -464,6 +464,30 @@ object SignatureStore {
               require(f.rename(live, new Path(trash, table)),
                 s"rename $live -> $trash failed")
             require(f.rename(staged, live), s"rename $staged -> $live failed")
+          }
+        }
+        f.delete(trash, true)
+      case "replace_parts" =>
+        // the threshold-gated compaction: swap exactly the PARTITION
+        // directories staged under the staging root, same per-unit
+        // idempotent discipline as "replace" (staged dir present ⇒ not
+        // yet swapped; absent ⇒ already swapped on a previous replay)
+        val trash = new Path(s"$path/_trash_${j.token}")
+        Seq("bands", "shingles").foreach { table =>
+          val stagedTable = new Path(staging, table)
+          if (f.exists(stagedTable)) {
+            f.mkdirs(new Path(trash, table))
+            f.listStatus(stagedTable).foreach { part =>
+              val name = part.getPath.getName
+              if (part.isDirectory && name.contains("=")) {
+                val live = new Path(s"$path/$table/$name")
+                if (f.exists(live))
+                  require(f.rename(live, new Path(trash, s"$table/$name")),
+                    s"rename $live -> $trash failed")
+                require(f.rename(part.getPath, live),
+                  s"rename ${part.getPath} -> $live failed")
+              }
+            }
           }
         }
         f.delete(trash, true)
@@ -506,30 +530,93 @@ object SignatureStore {
     repaired
   }
 
-  /** Rewrite both tables into one file per prefix partition — the
-    * small-file compaction a long-running append loop (one file per
-    * touched partition per micro-batch) eventually needs. Same journaled
-    * commit discipline as [[appendSignatures]]: the compacted tables are
-    * staged while the live store stays valid, then swapped in whole-
-    * directory renames replayable by [[recover]]. Probe results are
-    * unchanged (spec-asserted). */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** Small-file compaction for a long-running append loop (one file per
+    * touched partition per micro-batch). Same journaled commit discipline
+    * as [[appendSignatures]]: the compacted data is staged while the live
+    * store stays valid, then swapped in renames replayable by
+    * [[recover]]. Probe results are unchanged (spec-asserted).
+    *
+    * `maxFilesPerPartition = 0` (default) rewrites BOTH tables wholesale
+    * into one file per prefix partition. A positive bound makes the
+    * compaction THRESHOLD-GATED: only partitions whose data-file count
+    * exceeds the bound are rewritten — untouched partitions keep their
+    * exact files (spec-asserted by file listing) and none of their bytes
+    * move. That is the shape a maintenance cadence wants at scale: an
+    * append loop touches a skewed subset of partitions per batch, and a
+    * whole-store rewrite per compaction would read the full corpus'
+    * shingle sets every K batches. */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 0): Unit =
+    if (stageCompact(spark, path, maxFilesPerPartition))
+      commitStaged(spark, path)
+
+  /** First half of [[compact]]: stage the rewritten partitions and write
+    * the journal. Returns false (staging nothing) when a threshold-gated
+    * pass finds no partition over the bound. Package-private so specs can
+    * simulate a crash inside the commit window. */
+  private[graft] def stageCompact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 0): Boolean = {
     val m = readMeta(spark, path)
-    require(!fs(spark, path).exists(journalPath(path)),
+    val f = fs(spark, path)
+    require(!f.exists(journalPath(path)),
       s"$path has an unfinished staged commit — run recover first")
     val token = newToken()
     val staging = s"$path/$StagingPrefix$token"
-    spark.read.schema(BandsSchema).parquet(s"$path/bands")
-      .repartition(col("bh_pfx"))
-      .write.mode("overwrite").partitionBy("bh_pfx")
-      .parquet(s"$staging/bands")
-    spark.read.schema(ShinglesSchema).parquet(s"$path/shingles")
-      .repartition(col("doc_pfx"))
-      .write.mode("overwrite").partitionBy("doc_pfx")
-      .parquet(s"$staging/shingles")
-    writeJournal(spark, path, journalJson("replace", token,
-      metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
-    commitStaged(spark, path)
+    if (maxFilesPerPartition <= 0) {
+      spark.read.schema(BandsSchema).parquet(s"$path/bands")
+        .repartition(col("bh_pfx"))
+        .write.mode("overwrite").partitionBy("bh_pfx")
+        .parquet(s"$staging/bands")
+      spark.read.schema(ShinglesSchema).parquet(s"$path/shingles")
+        .repartition(col("doc_pfx"))
+        .write.mode("overwrite").partitionBy("doc_pfx")
+        .parquet(s"$staging/shingles")
+      writeJournal(spark, path, journalJson("replace", token,
+        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
+      true
+    } else {
+      // partitions over the file-count bound, from one driver-side
+      // listing (≤ nPrefixes dirs per table — bounded by the layout
+      // fan-out, not by data size)
+      def fragmented(table: String): Seq[Path] = {
+        val t = new Path(s"$path/$table")
+        if (!f.exists(t)) Nil
+        else f.listStatus(t).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .filter { st =>
+            f.listStatus(st.getPath).count { fl =>
+              val n = fl.getPath.getName
+              !fl.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+            } > maxFilesPerPartition
+          }
+          .map(_.getPath)
+      }
+      val fb = fragmented("bands")
+      val fsh = fragmented("shingles")
+      if (fb.isEmpty && fsh.isEmpty) return false // nothing over the bound
+      // stage ONLY the fragmented partitions (basePath keeps the
+      // partition column from the directory names); the staged partition
+      // listing IS the commit plan — commitStaged swaps exactly the
+      // partition directories present under the staging root, so the
+      // journal needs no partition list to mis-parse
+      if (fb.nonEmpty)
+        spark.read.schema(BandsSchema)
+          .option("basePath", s"$path/bands")
+          .parquet(fb.map(_.toString): _*)
+          .repartition(col("bh_pfx"))
+          .write.mode("overwrite").partitionBy("bh_pfx")
+          .parquet(s"$staging/bands")
+      if (fsh.nonEmpty)
+        spark.read.schema(ShinglesSchema)
+          .option("basePath", s"$path/shingles")
+          .parquet(fsh.map(_.toString): _*)
+          .repartition(col("doc_pfx"))
+          .write.mode("overwrite").partitionBy("doc_pfx")
+          .parquet(s"$staging/shingles")
+      writeJournal(spark, path, journalJson("replace_parts", token,
+        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
+      true
+    }
   }
 
   private val StagingPrefix = "_staging_"

@@ -142,13 +142,24 @@ object StreamingKg {
     * fails the batch loudly on violation, because a smaller batch id
     * would silently make a stored near-dup the non-representative and
     * retain both documents. */
+  /** `compactEvery`: run a threshold-gated store compaction
+    * ([[graft.ops.SignatureStore.compact]] with `maxFilesPerPartition`)
+    * every that-many micro-batches — the maintenance cadence that keeps
+    * the store's file count bounded over an unbounded append loop (each
+    * batch adds one file per touched partition; probe listing cost grows
+    * with file count, not data size). 0 disables. Compaction runs AFTER
+    * the epoch's done-marker: a crash inside it leaves a journal the
+    * next epoch's entry recover() replays, and a replayed epoch skips
+    * straight past it. */
   def nearDupDedupStream(
       docs: DataFrame,
       storePath: String,
       outDir: String,
       checkpointDir: String,
       maxBucket: Int = 64,
-      minJaccard: Double = 0.8
+      minJaccard: Double = 0.8,
+      compactEvery: Int = 0,
+      maxFilesPerPartition: Int = 4
   ): StreamingQuery =
     docs.writeStream
       .foreachBatch {
@@ -221,6 +232,13 @@ object StreamingKg {
                 case _ => ()
               }
           }
+          // maintenance cadence: threshold-gated compaction AFTER the
+          // epoch is durably done (marker written). A crash mid-compact
+          // leaves a journal; the recover() at the next epoch's entry
+          // replays it before probing.
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            graft.ops.SignatureStore.compact(spark, storePath,
+              maxFilesPerPartition)
         }
       }
       .option("checkpointLocation", checkpointDir)

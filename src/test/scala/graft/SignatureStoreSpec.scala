@@ -493,6 +493,75 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_store_meta.json"))
   }
 
+  test("threshold-gated compaction: only fragmented partitions move, probe parity, crash mid-swap recovers") {
+    import spark.implicits._
+    def words(p: String) = (1 to 20).map(t => s"${p}_$t").mkString(" ")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_partial").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    def partFiles(table: String, part: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$table/$part")
+      if (!f.exists(p)) Set.empty
+      else f.listStatus(p).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    }
+    // nPrefixes=4 so appends concentrate: ids ≡ 0,1 (mod 4) fragment
+    // shingle partitions 0 and 1; one id ≡ 2 leaves partition 2 with a
+    // single file that must NOT move
+    SignatureStore.init(spark, path, nPrefixes = 4, k = 32, bands = 16,
+      shingleN = 3)
+    (0 until 6).foreach { i =>
+      SignatureStore.append(spark, path,
+        Seq((i * 4 + 0L, words(s"a$i")), (i * 4 + 1L, words(s"b$i")))
+          .toDF("doc_id", "text"))
+    }
+    SignatureStore.append(spark, path,
+      Seq((26L, words("c"))).toDF("doc_id", "text")) // 26 % 4 = 2
+    val quiet0 = partFiles("shingles", "doc_pfx=2")
+    assert(quiet0.size == 1, s"fixture: $quiet0")
+    assert(partFiles("shingles", "doc_pfx=0").size > 3, "fixture: not fragmented")
+
+    val probeBatch = Seq((100L, words("a0") + " tail")).toDF("doc_id", "text")
+    val before = SignatureStore.probe(spark, path, probeBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((0L, 100L)))
+
+    // a bound nothing exceeds: stageCompact is a no-op (no journal, no
+    // staging, nothing moves)
+    assert(!SignatureStore.stageCompact(spark, path,
+      maxFilesPerPartition = 100))
+    assert(partFiles("shingles", "doc_pfx=0").size > 3)
+
+    // stage a real threshold-gated compaction, then CRASH mid-swap: one
+    // fragmented live partition already moved to the commit's trash (the
+    // state between the two renames of a partition swap)
+    assert(SignatureStore.stageCompact(spark, path, maxFilesPerPartition = 3))
+    val token = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).find(_.startsWith("_staging_")).get
+      .stripPrefix("_staging_")
+    val trash = new org.apache.hadoop.fs.Path(s"$path/_trash_$token/shingles")
+    f.mkdirs(trash)
+    assert(f.rename(
+      new org.apache.hadoop.fs.Path(s"$path/shingles/doc_pfx=0"),
+      new org.apache.hadoop.fs.Path(trash, "doc_pfx=0")))
+    assert(SignatureStore.recover(spark, path))
+
+    // fragmented partitions are now single-file; the quiet partition
+    // kept its EXACT file (compaction never touched it); probe parity
+    assert(partFiles("shingles", "doc_pfx=0").size == 1)
+    assert(partFiles("shingles", "doc_pfx=1").size == 1)
+    assert(partFiles("shingles", "doc_pfx=2") == quiet0)
+    val after = SignatureStore.probe(spark, path, probeBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    // no residue: journal, staging, and trash all gone
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.startsWith("_staging_") ||
+      n.startsWith("_trash_") || n == "_commit_journal.json"), names)
+  }
+
   test("write on an empty corpus ≡ init: empty tables, MinValue watermark") {
     import spark.implicits._
     val path = java.nio.file.Files

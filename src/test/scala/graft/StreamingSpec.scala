@@ -175,4 +175,81 @@ class StreamingSpec extends AnyFunSuite {
       assert(markers == Set("_batch_1_done"), markers.toString)
     } finally q.stop()
   }
+
+  test("soak: 50 micro-batches with compaction cadence keep the store's file count bounded") {
+    import spark.implicits._
+    // the long-running shape of the production loop: every micro-batch
+    // appends one file per touched partition, so an uncompacted store
+    // grows ~50× here and probe listing cost grows with it. With the
+    // threshold-gated compaction every 10 batches, the file count must
+    // stay bounded by the cadence — and the LAST batch triggers a
+    // compact, so every partition ends at or under the bound.
+    val ckDir = Files.createTempDirectory("soak_ck").toString
+    val outDir = Files.createTempDirectory("soak_out").toString + "/survivors"
+    val store = Files.createTempDirectory("soak_store").toString
+    def words(p: String) = (1 to 15).map(t => s"${p}_$t").mkString(" ")
+    graft.ops.SignatureStore.init(spark, store, nPrefixes = 8, k = 32,
+      bands = 16, shingleN = 3)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingKg.nearDupDedupStream(docs, store, outDir, ckDir,
+      maxBucket = 1024, minJaccard = 0.8,
+      compactEvery = 10, maxFilesPerPartition = 4)
+
+    def partFileCounts(): Map[String, Int] = {
+      val root = new java.io.File(store)
+      (for {
+        table <- Seq("bands", "shingles")
+        part <- Option(new java.io.File(root, table).listFiles()).toSeq
+          .flatten.filter(d => d.isDirectory && d.getName.contains("="))
+      } yield s"$table/${part.getName}" ->
+        part.listFiles().count(fl => !fl.getName.startsWith("_") &&
+          !fl.getName.startsWith("."))).toMap
+    }
+    def probeMillis(id: Long): Long = {
+      // best-of-2: fixed JVM/scheduling noise, not data-size, dominates
+      // at this scale — the assertion is "no growth trend", not a hard
+      // absolute
+      val b = Seq((id, words("t5") + " zz")).toDF("doc_id", "text")
+      (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.SignatureStore.probe(spark, store, b).count()
+        (System.nanoTime() - t0) / 1000000
+      }.min
+    }
+
+    try {
+      var earlyProbeMs = Long.MaxValue
+      (0 until 50).foreach { i =>
+        val base = 1000L + i * 10
+        val rows = Seq((base, words(s"t$i")), (base + 1, words(s"u$i"))) ++
+          // every 5th batch near-dups the PREVIOUS batch's survivor —
+          // dropped via the store, keeping the dedup path hot all soak
+          (if (i % 5 == 0 && i > 0)
+            Seq((base + 2, words(s"t${i - 1}") + " x")) else Nil)
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        if (i == 9) earlyProbeMs = probeMillis(900001L)
+      }
+      // survivors: 2 per batch; every near-dup row dropped (9 of them)
+      val survivors = spark.read.parquet(outDir).count()
+      assert(survivors == 100L, s"survivors=$survivors")
+      // batch 49 triggered the final compact: every partition is at or
+      // under the bound (an uncompacted soak leaves ~50 files in hot
+      // partitions)
+      val counts = partFileCounts()
+      assert(counts.nonEmpty)
+      val over = counts.filter(_._2 > 4)
+      assert(over.isEmpty, s"partitions over the bound after soak: $over")
+      // probe latency after 50 batches is in the same regime as after
+      // 10 — bounded files mean bounded listing/read work (generous 4×:
+      // both measurements are fixed-overhead-dominated)
+      val lateProbeMs = probeMillis(900002L)
+      info(s"probe ms: early=$earlyProbeMs late=$lateProbeMs")
+      assert(lateProbeMs < earlyProbeMs * 4 + 500,
+        s"probe grew: early=$earlyProbeMs ms late=$lateProbeMs ms")
+    } finally q.stop()
+  }
 }
