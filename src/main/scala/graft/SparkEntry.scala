@@ -448,11 +448,18 @@ object SparkEntry {
           col("n_bytes").cast("long").as("n_bytes"),
           round(col("byte_entropy"), 4).as("entropy4")) ++ stripes: _*)
     }),
-    // near-dup internals exposed rows-only (signatures; pair logic is
-    // oracle-checked via q21)
+    // SimHash near-dup candidates, oracle-checked via the staging
+    // pattern (round-5 verdict #3): the non-SQL half (the SimHash bits
+    // themselves — native expression, spec-locked in ExpressionSpec) is
+    // pinned to parquet; DuckDB recomputes the SQL-expressible half
+    // exactly — Charikar block keys by shift+mask and Hamming distance
+    // by bit_count(xor()) — so the emitted candidate set and distances
+    // are fully verified. Exact copies of every 40th doc and mutants of
+    // every 30th are planted so the candidate set is non-trivial.
     "kg07_simhash" -> ((s, dir) => {
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      Dedup.simhashCandidatesFromSigs(stagedSimhashSigs(s, dir), blocks = 4)
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"))
     }),
     // LSH-bucket ANN, oracle-checked via the kg03 staging pattern: the
     // non-SQL half (bucket assignment) is staged as a candidate-id
@@ -649,9 +656,15 @@ object SparkEntry {
       val mutants = docs.where(col("doc_id") % 30 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
           concat(col("text"), lit(" qqzz")).as("text"))
-      graft.ops.CleaningPipeline.cleanedMeta(
+      // the PARQUET-STAGED resumable path (the 100-TB operational shape:
+      // one text pass at rest + per-stage manifest) — a fresh stage dir
+      // per invocation so a timed re-run does the full chain, not a
+      // resume of completed stages
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_kg19_stage").toString
+      graft.ops.CleaningPipeline.cleanedMetaResumable(
         docs.unionByName(copies).unionByName(mutants),
-        benchExcerpts(s, dir), keepCols = Seq("lang"),
+        benchExcerpts(s, dir), stage, keepCols = Seq("lang"),
         k = 32, bands = 16, shingleN = 3, maxBucket = 1024,
         minJaccard = 0.8, minOverlap = 5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -723,6 +736,27 @@ object SparkEntry {
   // queries ran last — a per-dir memo with fixed paths would let a
   // second dir silently clobber the first's staged candidates while
   // both stayed marked staged)
+  /** kg07's staged `(doc_id, sig)` SimHash signatures (same pattern and
+    * same clobber-guard rationale as [[stagedAnnCandidates]]). */
+  @volatile private var simhashStagedFor: Option[String] = None
+  private def stagedSimhashSigs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      if (!simhashStagedFor.contains(dir)) {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val copies = docs.where(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val mutants = docs.where(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" qqzz")).as("text"))
+        docs.unionByName(copies).unionByName(mutants)
+          .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+          .write.mode("overwrite").parquet(s"$StageDir/kg07_sigs")
+        simhashStagedFor = Some(dir)
+      }
+      s.read.parquet(s"$StageDir/kg07_sigs")
+    }
+
   @volatile private var annStagedFor: Option[String] = None
   private def stagedAnnCandidates(s: SparkSession, dir: String): Unit =
     synchronized {
@@ -767,12 +801,12 @@ object SparkEntry {
 
   /** DuckDB-runnable ANSI oracles, column-name and value aligned with the
     * Spark results above. The remaining oracle-less queries (rows-only
-    * check) are the genuinely non-SQL set: kg01 (trie NER), kg07
-    * (SimHash bits), kg12-kg14 (HIPE/NEL scorer reports — differentially
-    * validated against the reference's own scorer in HipeParitySpec).
-    * The ANN family (kg08/kg09/kg11) stages its candidate sets to
-    * parquet, so the SQL-expressible ranking/verification half IS
-    * oracle-checked. */
+    * check) are the genuinely non-SQL set: kg01 (trie NER) and kg12-kg14
+    * (HIPE/NEL scorer reports — differentially validated against the
+    * reference's own scorer in HipeParitySpec). The ANN family
+    * (kg08/kg09/kg11) and kg07 (SimHash) stage their candidate sets /
+    * signature bits to parquet, so the SQL-expressible
+    * ranking/blocking/verification half IS oracle-checked. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1324,6 +1358,23 @@ object SparkEntry {
          JOIN read_parquet('$StageDir/rebuilt_gold/*.parquet') g
            ON t.id = g.url
          WHERE t.tk.s >= g.lOffset AND t.tk.s + t.tk.l <= g.rOffset""",
+    // SimHash blocking + Hamming recomputed from the staged signature
+    // bits: block key = arithmetic-shift + low-16-bit mask (identical to
+    // Spark's shiftright + bitwiseAND under the mask), distance =
+    // bit_count(xor()) over the same 64-bit two's-complement values
+    "kg07_simhash" ->
+      s"""WITH sigs AS (
+           SELECT doc_id, sig
+           FROM read_parquet('$StageDir/kg07_sigs/*.parquet')),
+         exploded AS (
+           SELECT doc_id, sig, b.block AS block,
+             ((sig >> (b.block * 16)) & 65535) AS key
+           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS block) b)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         FROM exploded a
+         JOIN exploded b
+           ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id""",
     // LSH ANN ≡ brute-force top-k over the staged bucket candidates
     "kg08_ann_lsh" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,4 +172,244 @@ object CleaningPipeline {
         minJaccard, minOverlap, minRatio, broadcastBench, storePath,
         allowStoreReplay),
       Seq("doc_id"), "left_semi")
+
+  // ---- parquet-staged, resumable chain ---------------------------------
+
+  /** [[cleanedMeta]] in its multi-job operational shape: the one-pass
+    * `(doc_id, keep…, _h, sh, sig)` projection is staged to PARQUET under
+    * `stageDir` instead of `localCheckpoint`, and every stage persists
+    * its (id-only, tiny) output with a completion marker, so a crashed
+    * chain RESUMES from the last completed stage without re-scanning
+    * corpus text. At 100 TB the cleaning chain is a multi-hour job; with
+    * `localCheckpoint` staging a failure anywhere re-runs everything and
+    * the staged artifact (≈ corpus-text-sized) lives in executor
+    * memory/spill — here it lives at rest, any stage re-reads only the
+    * columns it needs (the text column does not exist in the staged
+    * table at all), and the whole run is restartable per stage, the same
+    * manifest-resume discipline as
+    * [[graft.pipeline.KgPipeline.runResumable]].
+    *
+    * Layout under `stageDir` (each stage gated on its own parquet
+    * `_SUCCESS` marker — a write that died mid-stage is rewritten, never
+    * trusted):
+    *
+    *  - `_params`       — the run's parameters; a resume with DIFFERENT
+    *                      parameters refuses loudly (staged signatures
+    *                      computed under k/bands/shingleN are not valid
+    *                      under others).
+    *  - `staged/`       — THE text pass: hash + shingles + signature.
+    *  - `stage1_flagged/`, `stage2_exact_drops/`, `stage3_near_drops/`
+    *                    — per-stage dropped-id sets.
+    *  - `stage4_store_attempt` / `stage4_store_done` — markers around
+    *                      the (journaled, crash-recoverable) store
+    *                      append, so a resume neither skips nor
+    *                      double-runs it (see [[SignatureStore.recover]]).
+    *  - `_manifest/`    — per-stage lineage: `(stage, rows, wall_ms)`.
+    *
+    * CONTRACT (same as KgPipeline staging): the run binds to the FIRST
+    * input staged into `stageDir` — resuming with different/extra `docs`
+    * or `bench` rows processes the staged corpus and the persisted
+    * flagged set, not the new input; a new input needs a new `stageDir`.
+    * Single writer per `stageDir`. `broadcastBench` is an execution
+    * hint, not semantics, so it is not part of the parameter manifest.
+    */
+  def cleanedMetaResumable(
+      docs: DataFrame,
+      bench: DataFrame,
+      stageDir: String,
+      keepCols: Seq[String] = Nil,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8,
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true,
+      storePath: Option[String] = None,
+      allowStoreReplay: Boolean = false
+  ): DataFrame =
+    runStages(docs, bench, stageDir, keepCols, k, bands, shingleN,
+      maxBucket, minJaccard, minOverlap, minRatio, broadcastBench,
+      storePath, allowStoreReplay, upTo = 4).get
+
+  /** Per-stage lineage/metrics view over a resumable run's manifest. */
+  def manifest(spark: SparkSession, stageDir: String): DataFrame =
+    spark.read.parquet(s"$stageDir/_manifest")
+
+  private def hasSuccess(dir: String): Boolean =
+    Files.exists(Paths.get(s"$dir/_SUCCESS"))
+
+  /** Atomic (temp + move) parameter-manifest write; on resume the stored
+    * manifest must equal the caller's parameters exactly. */
+  private def checkOrWriteParams(stageDir: String, body: String): Unit = {
+    val p = Paths.get(s"$stageDir/_params")
+    if (Files.exists(p)) {
+      val stored = new String(Files.readAllBytes(p), "UTF-8")
+      require(stored == body,
+        s"resume into $stageDir with different parameters — staged " +
+          s"artifacts were computed under:\n$stored\nbut this run asks " +
+          s"for:\n$body\nUse a new stageDir (or the original parameters).")
+    } else {
+      Files.createDirectories(p.getParent)
+      val tmp = Paths.get(s"$stageDir/._params.tmp")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Runs stages 0..`upTo` (0=staging text pass, 1=decontaminate,
+    * 2=exact drops, 3=near-dup drops, 4=store append), skipping stages
+    * whose output already carries a completion marker. Returns the
+    * survivor frame once stage 3 is available and `upTo` ≥ 4.
+    * Package-private so the spec can kill the chain between stages and
+    * resume it. */
+  private[graft] def runStages(
+      docs: DataFrame,
+      bench: DataFrame,
+      stageDir: String,
+      keepCols: Seq[String],
+      k: Int, bands: Int, shingleN: Int, maxBucket: Int,
+      minJaccard: Double, minOverlap: Int, minRatio: Double,
+      broadcastBench: Boolean,
+      storePath: Option[String],
+      allowStoreReplay: Boolean,
+      upTo: Int
+  ): Option[DataFrame] = {
+    val spark = docs.sparkSession
+    storePath.foreach { p =>
+      val m = SignatureStore.readMeta(spark, p)
+      require(m.k == k && m.bands == bands && m.shingleN == shingleN,
+        s"store $p has (k=${m.k}, bands=${m.bands}, shingleN=${m.shingleN})" +
+          s" but the pipeline runs (k=$k, bands=$bands, shingleN=$shingleN)" +
+          " — appending differently-banded signatures would silently miss" +
+          " every future near-duplicate")
+    }
+    checkOrWriteParams(stageDir,
+      s"k=$k\nbands=$bands\nshingleN=$shingleN\nmaxBucket=$maxBucket\n" +
+        s"minJaccard=$minJaccard\nminOverlap=$minOverlap\n" +
+        s"minRatio=$minRatio\nkeepCols=${keepCols.mkString(",")}\n" +
+        s"storePath=${storePath.getOrElse("")}\n")
+
+    val stagedDir = s"$stageDir/staged"
+    val flaggedDir = s"$stageDir/stage1_flagged"
+    val exactDir = s"$stageDir/stage2_exact_drops"
+    val nearDir = s"$stageDir/stage3_near_drops"
+    val manifestDir = s"$stageDir/_manifest"
+
+    var t0 = System.nanoTime()
+    def record(stage: Int, dir: String): Unit = {
+      import spark.implicits._
+      val rows = spark.read.parquet(dir).count()
+      Seq((stage, rows, (System.nanoTime() - t0) / 1000000L))
+        .toDF("stage", "rows", "wall_ms")
+        .write.mode(SaveMode.Append).parquet(manifestDir)
+    }
+
+    // stage 0 — THE text pass, at rest
+    if (!hasSuccess(stagedDir)) {
+      docs.select(
+        Seq(col("doc_id")) ++ keepCols.map(col) ++ Seq(
+          md5(col("text").cast("binary")).as("_h"),
+          Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+          Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
+        .write.mode(SaveMode.Overwrite).parquet(stagedDir)
+      record(0, stagedDir)
+    }
+    def staged = spark.read.parquet(stagedDir)
+    if (upTo < 1) return None
+
+    // stage 1 — decontamination flags over the staged shingle sets
+    t0 = System.nanoTime()
+    if (!hasSuccess(flaggedDir)) {
+      Decontaminate.contaminationReportOnShingles(
+          staged.select(col("doc_id"), col("sh")), bench, shingleN,
+          minOverlap, minRatio, broadcastBench)
+        .select(col("doc_id")).distinct()
+        .write.mode(SaveMode.Overwrite).parquet(flaggedDir)
+      record(1, flaggedDir)
+    }
+    def flagged = spark.read.parquet(flaggedDir)
+    if (upTo < 2) return None
+
+    // stage 2 — exact-duplicate drops (digest-keyed window, hash+id only)
+    t0 = System.nanoTime()
+    if (!hasSuccess(exactDir)) {
+      staged.select(col("doc_id"), col("_h"))
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+        .where(col("_rn") > 1)
+        .select(col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(exactDir)
+      record(2, exactDir)
+    }
+    def exactDrops = spark.read.parquet(exactDir)
+    if (upTo < 3) return None
+
+    // stage 3 — near-dup drops from the staged signatures/shingles
+    t0 = System.nanoTime()
+    if (!hasSuccess(nearDir)) {
+      val r2 = staged.select(col("doc_id"), col("sh"), col("sig"))
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .join(exactDrops, Seq("doc_id"), "left_anti")
+      val banded = Dedup.bandRowsFromSigs(
+        r2.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
+        k, bands)
+      val pairs = Dedup.jaccardVerifyOnShingles(
+        r2.select(col("doc_id"), col("sh")),
+        Dedup.candidatePairsFromBanded(banded, maxBucket), minJaccard)
+      Dedup.clustersFromPairs(pairs)
+        .where(col("doc_id") =!= col("cluster_rep"))
+        .select(col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(nearDir)
+      record(3, nearDir)
+    }
+    def nearDrops = spark.read.parquet(nearDir)
+    def survivorIds(cols: Seq[String]) =
+      staged.select(cols.map(col): _*)
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .join(exactDrops, Seq("doc_id"), "left_anti")
+        .join(nearDrops, Seq("doc_id"), "left_anti")
+    if (upTo < 4) return None
+
+    // stage 4 — fold survivors into the incremental store (signatures
+    // already at rest; the append itself is a journaled staged commit)
+    storePath.foreach { sp =>
+      val done = Paths.get(s"$stageDir/stage4_store_done")
+      val attempt = Paths.get(s"$stageDir/stage4_store_attempt")
+      if (!Files.exists(done)) {
+        t0 = System.nanoTime()
+        val attempted = Files.exists(attempt)
+        if (!attempted) Files.createFile(attempt)
+        // finish any journaled commit a crashed attempt left behind —
+        // after this the store is consistent: the prior append either
+        // fully committed or never touched the live store
+        SignatureStore.recover(spark, sp)
+        val surv = survivorIds(Seq("doc_id", "sh", "sig"))
+        val mxRow = surv.agg(max(col("doc_id").cast("long"))).head()
+        // a prior attempt that reached commit advanced the watermark to
+        // ≥ max(survivor ids) — skip the re-append. (With ids at or
+        // below the watermark and no prior attempt, appendSignatures
+        // itself arbitrates via the monotone/replay gate as usual.)
+        val alreadyIn = attempted && !mxRow.isNullAt(0) &&
+          SignatureStore.readMeta(spark, sp).maxDocId >= mxRow.getLong(0)
+        if (!alreadyIn) {
+          SignatureStore.appendSignatures(spark, sp,
+            Dedup.bandRowsFromSigs(
+              surv.where(size(col("sh")) > 0)
+                .select(col("doc_id"), col("sig")), k, bands),
+            surv.select(col("doc_id"), col("sh")),
+            allowReplay = allowStoreReplay || attempted)
+        }
+        Files.createFile(done)
+        import spark.implicits._
+        Seq((4, 0L, (System.nanoTime() - t0) / 1000000L))
+          .toDF("stage", "rows", "wall_ms")
+          .write.mode(SaveMode.Append).parquet(manifestDir)
+      }
+    }
+
+    Some(survivorIds("doc_id" +: keepCols))
+  }
 }

@@ -325,8 +325,16 @@ object Dedup {
   /** SimHash near-dup candidates: equal on any of `blocks` signature blocks
     * (standard Charikar blocking — tolerates `blocks-1` differing bits per
     * the pigeonhole principle). */
-  def simhashCandidates(docs: DataFrame, blocks: Int = 4): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("sig"))
+  def simhashCandidates(docs: DataFrame, blocks: Int = 4): DataFrame =
+    simhashCandidatesFromSigs(
+      docs.select(col("doc_id"), simhash64(col("text")).as("sig")), blocks)
+
+  /** [[simhashCandidates]] over PRE-COMPUTED `(doc_id, sig)` signatures —
+    * the blocking + Hamming half is pure relational algebra, so a staged
+    * signature table lets an external engine (the DuckDB oracle) verify
+    * it exactly: block keys are arithmetic-shift-plus-mask, the distance
+    * is `bit_count(xor(sig1, sig2))`. */
+  def simhashCandidatesFromSigs(sigs: DataFrame, blocks: Int = 4): DataFrame = {
     val width = 64 / blocks
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("block"),

@@ -163,16 +163,105 @@ class CleaningPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resumable chain: killed between stages, it resumes to the same survivors; store appended exactly once") {
+    import spark.implicits._
+    val benchToks = (1 to 12).map(i => s"b$i").mkString(" ")
+    val bench = Seq((900L, benchToks)).toDF("bench_id", "text")
+    val doc1 = "x1 x2 " + benchToks + " y1 y2"
+    val doc3 = words("m")
+    val docs = Seq(
+      (1L, doc1), (2L, doc1 + " z1"), (3L, doc3), (4L, doc3),
+      (5L, words("m") + " x9"), (6L, words("u")))
+      .toDF("doc_id", "text").withColumn("lang", lit("de"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_resume_store").toString
+    SignatureStore.init(spark, store, nPrefixes = 8, k = 32, bands = 16,
+      shingleN = 3)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_resume_stage").toString
+
+    def run(upTo: Int) = CleaningPipeline.runStages(docs, bench, stage,
+      Seq("lang"), k = 32, bands = 16, shingleN = 3, maxBucket = 64,
+      minJaccard = 0.8, minOverlap = 5, minRatio = 0.0,
+      broadcastBench = true, storePath = Some(store),
+      allowStoreReplay = false, upTo = upTo)
+    def done(d: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stage/$d/_SUCCESS"))
+
+    // kill after each stage in turn; each resume picks up where it died
+    assert(run(0).isEmpty && done("staged") && !done("stage1_flagged"))
+    assert(run(1).isEmpty && done("stage1_flagged") && !done("stage2_exact_drops"))
+    // resuming with DIFFERENT parameters refuses before touching anything
+    val e = intercept[IllegalArgumentException] {
+      CleaningPipeline.runStages(docs, bench, stage, Seq("lang"), k = 16,
+        bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+        minOverlap = 5, minRatio = 0.0, broadcastBench = true,
+        storePath = None, allowStoreReplay = false, upTo = 4)
+    }
+    assert(e.getMessage.contains("different parameters"))
+    assert(run(3).isEmpty && done("stage3_near_drops"))
+    val kept = CleaningPipeline.cleanedMetaResumable(docs, bench, stage,
+      keepCols = Seq("lang"), k = 32, bands = 16, shingleN = 3,
+      maxBucket = 64, minJaccard = 0.8, minOverlap = 5,
+      storePath = Some(store))
+    assert(kept.columns.toSeq == Seq("doc_id", "lang"))
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    // ...and it matches the one-job localCheckpoint path exactly
+    assert(CleaningPipeline.cleanedMeta(docs, bench, Nil, k = 32,
+      bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5).collect().map(_.getLong(0)).toSet == Set(3L, 6L))
+    // per-stage lineage is queryable
+    assert(CleaningPipeline.manifest(spark, stage)
+      .select("stage").collect().map(_.getInt(0)).toSet == Set(0, 1, 2, 3, 4))
+
+    val nShingleRows = spark.read.parquet(s"$store/shingles").count()
+    assert(nShingleRows == 2L) // survivors 3 and 6
+
+    // crash AFTER the store commit but BEFORE the done marker: the resume
+    // recognizes the advanced watermark and does NOT double-append
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$stage/stage4_store_done"))
+    val again = CleaningPipeline.cleanedMetaResumable(docs, bench, stage,
+      keepCols = Seq("lang"), k = 32, bands = 16, shingleN = 3,
+      maxBucket = 64, minJaccard = 0.8, minOverlap = 5,
+      storePath = Some(store)).collect().map(_.getLong(0)).toSet
+    assert(again == Set(3L, 6L))
+    assert(spark.read.parquet(s"$store/shingles").count() == nShingleRows)
+
+    // crash BEFORE the append ever staged (attempt marker only): the
+    // resume runs the append — exercised on a fresh store + stage dir
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_resume_store2").toString
+    SignatureStore.init(spark, store2, nPrefixes = 8, k = 32, bands = 16,
+      shingleN = 3)
+    val stage2 = java.nio.file.Files
+      .createTempDirectory("graft_resume_stage2").toString
+    CleaningPipeline.runStages(docs, bench, stage2, Nil, k = 32,
+      bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, minRatio = 0.0, broadcastBench = true,
+      storePath = Some(store2), allowStoreReplay = false, upTo = 3)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$stage2/stage4_store_attempt"))
+    CleaningPipeline.cleanedMetaResumable(docs, bench, stage2, Nil,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, storePath = Some(store2)).count()
+    assert(spark.read.parquet(s"$store2/shingles").count() == 2L)
+    // the appended store answers probes like the non-resumable path's
+    val probe6 = Seq((100L, words("u") + " tail")).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, store2, probe6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 100L)))
+  }
+
   test("corpus text is read exactly once across the whole chain") {
     import spark.implicits._
     // byte-level FS statistics can't see Spark 4's local-parquet fast
     // path (vectored reads bypass Hadoop statistics), so the corpus is
-    // read through [[CountingLocalFs]] — its own scheme, every data-file
+    // read through [[graft.tools.CountingLocalFs]] — its own scheme, every data-file
     // OPEN counted — and the assertion is self-calibrating: the composed
     // chain must open exactly as many parquet files as ONE plain scan of
     // the same table does. The independent-stages chain opens ~3× that.
     spark.sparkContext.hadoopConfiguration.set("fs.cntfs.impl",
-      classOf[CountingLocalFs].getName)
+      classOf[graft.tools.CountingLocalFs].getName)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_clean_once").toString
     val rows = (0L until 3000L).map { i =>
@@ -186,24 +275,58 @@ class CleaningPipelineSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/bench")
 
     // calibration: one full scan of the corpus through the counting FS
-    CountingLocalFs.reset()
+    graft.tools.CountingLocalFs.reset()
     spark.read.parquet(s"cntfs:$dir/docs")
       .agg(sum(length(col("text")))).collect()
-    val oneScanOpens = CountingLocalFs.parquetOpens()
+    val oneScanOpens = graft.tools.CountingLocalFs.parquetOpens()
     assert(oneScanOpens >= 8, s"calibration degenerate: $oneScanOpens")
 
-    CountingLocalFs.reset()
+    graft.tools.CountingLocalFs.reset()
     val n = CleaningPipeline.cleanedMeta(
       spark.read.parquet(s"cntfs:$dir/docs"),
       spark.read.parquet(s"$dir/bench"), // bench on plain file:// —
       Nil,                               // only corpus opens are counted
       k = 32, bands = 16, shingleN = 3, maxBucket = 64).count()
-    val composedOpens = CountingLocalFs.parquetOpens()
+    val composedOpens = graft.tools.CountingLocalFs.parquetOpens()
     assert(n > 2000 && n < 3000, s"fixture sanity: $n survivors")
     info(s"corpus file opens: one scan = $oneScanOpens, " +
       s"composed chain = $composedOpens")
     assert(composedOpens == oneScanOpens,
       s"composed chain opened corpus files $composedOpens times vs " +
         s"$oneScanOpens for a single scan — text read more than once?")
+
+    // the RESUMABLE path: a chain killed between stages 2 and 3 opens
+    // the corpus exactly once (stage 0), and the resumed remainder —
+    // driven entirely off the parquet-staged projection — opens corpus
+    // files ZERO times
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_clean_once_stage").toString
+    // killed run: reader constructed INSIDE the window, exactly like the
+    // calibration scan, so any schema-inference opens cancel out
+    graft.tools.CountingLocalFs.reset()
+    CleaningPipeline.runStages(
+      spark.read.parquet(s"cntfs:$dir/docs"),
+      spark.read.parquet(s"$dir/bench"), stage, Nil,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, minRatio = 0.0, broadcastBench = true,
+      storePath = None, allowStoreReplay = false, upTo = 2)
+    val killedOpens = graft.tools.CountingLocalFs.parquetOpens()
+    assert(killedOpens == oneScanOpens,
+      s"killed-at-stage-2 chain opened corpus files $killedOpens times " +
+        s"vs $oneScanOpens for a single scan")
+    // resumed run: reader constructed BEFORE the window (schema inference
+    // opens a footer; the resumed CHAIN itself must open nothing)
+    val docsDf = spark.read.parquet(s"cntfs:$dir/docs")
+    val benchDf = spark.read.parquet(s"$dir/bench")
+    graft.tools.CountingLocalFs.reset()
+    val nResumed = CleaningPipeline.cleanedMetaResumable(
+      docsDf, benchDf, stage, Nil,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 64).count()
+    val resumeOpens = graft.tools.CountingLocalFs.parquetOpens()
+    assert(nResumed == n, s"resumed survivors $nResumed != composed $n")
+    info(s"resume after kill: corpus file opens = $resumeOpens")
+    assert(resumeOpens == 0,
+      s"resumed chain re-opened corpus files $resumeOpens times — " +
+        "resume must run entirely off the staged projection")
   }
 }

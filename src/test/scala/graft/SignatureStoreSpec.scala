@@ -583,11 +583,11 @@ class SignatureStoreSpec extends AnyFunSuite {
     import spark.implicits._
     // the CleaningPipeline one-pass discipline applied to write: shingle
     // set + signature + watermark from ONE staged projection. Counted
-    // through CountingLocalFs (Spark 4's local-parquet fast path bypasses
+    // through graft.tools.CountingLocalFs (Spark 4's local-parquet fast path bypasses
     // Hadoop byte statistics) and self-calibrated against a single plain
     // scan of the same table — the historical 3-scan ingest opened ~3×.
     spark.sparkContext.hadoopConfiguration.set("fs.cntfs.impl",
-      classOf[CountingLocalFs].getName)
+      classOf[graft.tools.CountingLocalFs].getName)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sigstore_once").toString
     (0L until 2000L)
@@ -595,16 +595,16 @@ class SignatureStoreSpec extends AnyFunSuite {
       .toDF("doc_id", "text").repartition(8)
       .write.mode("overwrite").parquet(s"$dir/docs")
 
-    CountingLocalFs.reset()
+    graft.tools.CountingLocalFs.reset()
     spark.read.parquet(s"cntfs:$dir/docs")
       .agg(sum(length(col("text")))).collect()
-    val oneScanOpens = CountingLocalFs.parquetOpens()
+    val oneScanOpens = graft.tools.CountingLocalFs.parquetOpens()
     assert(oneScanOpens >= 8, s"calibration degenerate: $oneScanOpens")
 
-    CountingLocalFs.reset()
+    graft.tools.CountingLocalFs.reset()
     SignatureStore.write(spark.read.parquet(s"cntfs:$dir/docs"),
       s"$dir/store", nPrefixes = 16, k = 32, bands = 16, shingleN = 3)
-    val ingestOpens = CountingLocalFs.parquetOpens()
+    val ingestOpens = graft.tools.CountingLocalFs.parquetOpens()
     info(s"corpus file opens: one scan = $oneScanOpens, " +
       s"ingest = $ingestOpens")
     assert(ingestOpens == oneScanOpens,
