@@ -659,9 +659,9 @@ object SparkEntry {
       // the PARQUET-STAGED resumable path (the 100-TB operational shape:
       // one text pass at rest + per-stage manifest) — a fresh stage dir
       // per invocation so a timed re-run does the full chain, not a
-      // resume of completed stages
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft_kg19_stage").toString
+      // resume of completed stages; shutdown-hook-cleaned so repeated
+      // bench passes don't accumulate staged dirs
+      val stage = graft.tools.TempDirs.scoped("graft_kg19_stage")
       graft.ops.CleaningPipeline.cleanedMetaResumable(
         docs.unionByName(copies).unionByName(mutants),
         benchExcerpts(s, dir), stage, keepCols = Seq("lang"),

@@ -212,6 +212,12 @@ object CleaningPipeline {
     * flagged set, not the new input; a new input needs a new `stageDir`.
     * Single writer per `stageDir`. `broadcastBench` is an execution
     * hint, not semantics, so it is not part of the parameter manifest.
+    * Stage-dir paths are driver-local by the sandbox contract (the
+    * KgPipeline note applies verbatim); a cluster deployment swaps the
+    * java.nio checks for the Hadoop FileSystem API. A crash between a
+    * stage's parquet write and its manifest append loses that stage's
+    * `_manifest` ROW only — the stage itself (gated on `_SUCCESS`, not
+    * the manifest) resumes correctly.
     */
   def cleanedMetaResumable(
       docs: DataFrame,
@@ -237,24 +243,72 @@ object CleaningPipeline {
   def manifest(spark: SparkSession, stageDir: String): DataFrame =
     spark.read.parquet(s"$stageDir/_manifest")
 
+  /** [[clean]] over the resumable chain: the full-row corpus transform,
+    * with the id-level work staged/resumed under `stageDir`. The payload
+    * re-attach is the one deliberate second text scan (write-side). */
+  def cleanResumable(
+      docs: DataFrame,
+      bench: DataFrame,
+      stageDir: String,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8,
+      minOverlap: Int = 5,
+      minRatio: Double = 0.0,
+      broadcastBench: Boolean = true,
+      storePath: Option[String] = None,
+      allowStoreReplay: Boolean = false
+  ): DataFrame =
+    docs.join(
+      cleanedMetaResumable(docs, bench, stageDir, Nil, k, bands, shingleN,
+        maxBucket, minJaccard, minOverlap, minRatio, broadcastBench,
+        storePath, allowStoreReplay),
+      Seq("doc_id"), "left_semi")
+
   private def hasSuccess(dir: String): Boolean =
     Files.exists(Paths.get(s"$dir/_SUCCESS"))
 
-  /** Atomic (temp + move) parameter-manifest write; on resume the stored
-    * manifest must equal the caller's parameters exactly. */
-  private def checkOrWriteParams(stageDir: String, body: String): Unit = {
+  /** Atomic (temp + move) parameter-manifest write. On resume the
+    * banding/threshold parameters must equal the stored manifest EXACTLY
+    * (staged signatures computed under one banding are not valid under
+    * another); `keepCols` is compatibility-checked as a SUBSET instead —
+    * the staged table carries the BINDING run's keep columns, so a
+    * caller asking for fewer (e.g. [[cleanResumable]]'s id-only needs)
+    * reads a strict subset of what is staged. Returns the effective
+    * (binding-run) keep columns, which stage 0 must stage if it still
+    * has to run. */
+  private def checkOrWriteParams(stageDir: String, core: String,
+      keepCols: Seq[String]): Seq[String] = {
     val p = Paths.get(s"$stageDir/_params")
     if (Files.exists(p)) {
       val stored = new String(Files.readAllBytes(p), "UTF-8")
-      require(stored == body,
+      val lines = stored.split("\n", -1).toSeq
+      val storedCore = lines
+        .filterNot(l => l.startsWith("keepCols=") || l.isEmpty)
+        .mkString("\n")
+      val storedKeep = lines.find(_.startsWith("keepCols="))
+        .map(_.stripPrefix("keepCols=")).getOrElse("")
+        .split(",").filter(_.nonEmpty).toSeq
+      require(storedCore == core,
         s"resume into $stageDir with different parameters — staged " +
-          s"artifacts were computed under:\n$stored\nbut this run asks " +
-          s"for:\n$body\nUse a new stageDir (or the original parameters).")
+          s"artifacts were computed under:\n$storedCore\nbut this run " +
+          s"asks for:\n$core\nUse a new stageDir (or the original " +
+          "parameters).")
+      require(keepCols.forall(storedKeep.contains),
+        s"resume into $stageDir asks for keep columns " +
+          s"${keepCols.mkString(",")} but the staged table carries only " +
+          s"[${storedKeep.mkString(",")}] — a subset is fine, new " +
+          "columns need a new stageDir")
+      storedKeep
     } else {
       Files.createDirectories(p.getParent)
       val tmp = Paths.get(s"$stageDir/._params.tmp")
-      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.write(tmp,
+        s"$core\nkeepCols=${keepCols.mkString(",")}\n".getBytes("UTF-8"))
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      keepCols
     }
   }
 
@@ -278,6 +332,14 @@ object CleaningPipeline {
   ): Option[DataFrame] = {
     val spark = docs.sparkSession
     storePath.foreach { p =>
+      // a prior attempt that crashed INSIDE the store's commit window
+      // leaves the journal present and the metadata deleted — the plain
+      // readMeta below would refuse loudly and the recover() inside
+      // stage 4 would never be reached. The attempt marker proves the
+      // interrupted commit is OURS (single-writer contract), so replay
+      // it before reading the metadata.
+      if (Files.exists(Paths.get(s"$stageDir/stage4_store_attempt")))
+        SignatureStore.recover(spark, p)
       val m = SignatureStore.readMeta(spark, p)
       require(m.k == k && m.bands == bands && m.shingleN == shingleN,
         s"store $p has (k=${m.k}, bands=${m.bands}, shingleN=${m.shingleN})" +
@@ -285,11 +347,12 @@ object CleaningPipeline {
           " — appending differently-banded signatures would silently miss" +
           " every future near-duplicate")
     }
-    checkOrWriteParams(stageDir,
+    val stagedKeep = checkOrWriteParams(stageDir,
       s"k=$k\nbands=$bands\nshingleN=$shingleN\nmaxBucket=$maxBucket\n" +
         s"minJaccard=$minJaccard\nminOverlap=$minOverlap\n" +
-        s"minRatio=$minRatio\nkeepCols=${keepCols.mkString(",")}\n" +
-        s"storePath=${storePath.getOrElse("")}\n")
+        s"minRatio=$minRatio\n" +
+        s"storePath=${storePath.getOrElse("")}",
+      keepCols)
 
     val stagedDir = s"$stageDir/staged"
     val flaggedDir = s"$stageDir/stage1_flagged"
@@ -306,10 +369,11 @@ object CleaningPipeline {
         .write.mode(SaveMode.Append).parquet(manifestDir)
     }
 
-    // stage 0 — THE text pass, at rest
+    // stage 0 — THE text pass, at rest (staging the BINDING run's keep
+    // columns, a superset of this caller's)
     if (!hasSuccess(stagedDir)) {
       docs.select(
-        Seq(col("doc_id")) ++ keepCols.map(col) ++ Seq(
+        Seq(col("doc_id")) ++ stagedKeep.map(col) ++ Seq(
           md5(col("text").cast("binary")).as("_h"),
           Dedup.distinctShingles(col("text"), shingleN).as("sh"),
           Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)

@@ -88,6 +88,16 @@ object SignatureStore {
     require(!f.exists(metaPath(path)),
       s"$path already holds a signature store — init creates new stores " +
         "only; re-ingest an existing one with SignatureStore.write")
+    // metadata absent is NOT proof of emptiness: a write() that crashed
+    // mid-ingest leaves populated table dirs with no metadata. Writing
+    // fresh meta over them would resurrect the stale rows under a reset
+    // Long.MinValue watermark — refuse anything but a truly empty path.
+    def nonEmptyDir(p: Path) = f.exists(p) && f.listStatus(p).nonEmpty
+    require(!nonEmptyDir(new Path(s"$path/bands")) &&
+      !nonEmptyDir(new Path(s"$path/shingles")),
+      s"$path has leftover store table data but no metadata (an " +
+        "interrupted write?) — init refuses to resurrect it; clear the " +
+        "directory or re-ingest with SignatureStore.write")
     f.mkdirs(new Path(s"$path/bands"))
     f.mkdirs(new Path(s"$path/shingles"))
     writeMeta(spark, path,

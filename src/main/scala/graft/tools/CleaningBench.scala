@@ -18,10 +18,12 @@ import graft.ops.CleaningPipeline
   *  - r = 0..16  unique base text (40 tokens from a 4096-word vocab,
   *                splitmix-seeded, partition-independent)
   *  - r = 17     exact duplicate of the group's r=0 text
-  *  - r = 18     near-duplicate of r=1 (one appended unique token:
-  *                Jaccard 38/40 = 0.95 ≥ 0.8; at 16 bands × 2 rows the
-  *                per-pair LSH miss probability is (1−0.95²)¹⁶ ≈ 5e-17,
-  *                so the expected count is exact at any corpus size)
+  *  - r = 18     near-duplicate of r=1 (one appended unique token: 38
+  *                3-shingles in the 40-token base, 39 in the mutant, 38
+  *                shared → Jaccard 38/39 ≈ 0.974 ≥ 0.8; at 16 bands ×
+  *                2 rows the per-pair LSH miss probability is
+  *                (1−0.974²)¹⁶ ≈ 2e-21, so the expected count is exact
+  *                at any corpus size)
   *  - r = 19     exact duplicate of r=2
   * and every 500th group's r=3 doc donates its first 15 tokens as a
   * benchmark excerpt (13 shared shingles ≥ minOverlap 5 → flagged).
@@ -30,12 +32,18 @@ import graft.ops.CleaningPipeline
   * = groups, survivors = 17·groups − ⌈groups/500⌉. All four are hard
   * assertions against the run's per-stage manifest.
   *
-  * The corpus is read through [[CountingLocalFs]] (its own `cntfs:`
-  * scheme), so the read-once guarantee is MEASURED at 20M too: corpus
-  * parquet file opens during the whole chain must equal one plain scan's
-  * opens. (cntfs defeats Spark's local-parquet fast path, so the
-  * reported throughput is a slight underestimate — the honest price of
-  * counting.) Results append to BENCH.md.
+  * In the full run the corpus is read through [[CountingLocalFs]] (its
+  * own `cntfs:` scheme), so the read-once guarantee is MEASURED at 20M
+  * too: corpus parquet file opens during the whole chain must equal one
+  * plain scan's opens. (cntfs defeats Spark's local-parquet fast path,
+  * so the reported throughput is a slight underestimate — the honest
+  * price of counting.)
+  *
+  * `ladder` mode runs the chain PAIRED at two parallelism levels
+  * (default local[8] vs local[32]; fresh child JVM per measurement with
+  * a same-shape warm-up inside, lo/hi back-to-back per round — the
+  * ScalingBench protocol verbatim) for the cleaning chain's own
+  * two-cluster-size scaling evidence. All results append to BENCH.md.
   */
 object CleaningBench {
 
@@ -71,24 +79,46 @@ object CleaningBench {
     }
   }
 
-  private def corpus(spark: SparkSession, n: Long, seed: Long)
-      : Dataset[(Long, String)] = {
-    import spark.implicits._
-    spark.range(0, n, 1, 128).map(i => (i, textOf(seed, i)))
+  private val Seed = 42L
+
+  private def expectedSurvivors(nDocs: Long): Long = {
+    val groups = nDocs / 20
+    17L * groups - (groups + 499) / 500
   }
 
-  def main(args: Array[String]): Unit = {
-    val nDocs = if (args.nonEmpty) args(0).toLong else 20000000L
-    val seed = 42L
-    require(nDocs % 10000 == 0, "nDocs must be a multiple of 10000")
-    val groups = nDocs / 20
-    val contam = (groups + 499) / 500
-    val expectSurvivors = 17L * groups - contam
+  private def corpus(spark: SparkSession, n: Long): Dataset[(Long, String)] = {
+    import spark.implicits._
+    spark.range(0, n, 1, 128).map(i => (i, textOf(Seed, i)))
+  }
 
+  private def corpusDir(n: Long) = s"/tmp/graft_cleaning_corpus_$n"
+
+  /** Corpus + bench tables at rest ONCE (untimed) — the chain's input is
+    * a table. */
+  private def materialize(spark: SparkSession, nDocs: Long): Unit = {
+    import spark.implicits._
+    val dir = corpusDir(nDocs)
+    // docs is written LAST and is the reuse gate, so a run killed
+    // mid-materialization can never leave a half-corpus that later runs
+    // trust (bench-first ordering + both markers checked)
+    if (Files.exists(Paths.get(s"$dir/docs/_SUCCESS")) &&
+      Files.exists(Paths.get(s"$dir/bench/_SUCCESS"))) return
+    val groups = nDocs / 20
+    spark.range(0, groups, 1, 8).where(col("id") % 500 === 0)
+      .as[Long]
+      .map(g => (g, textOf(Seed, g * 20 + 3)
+        .split(" ").take(15).mkString(" ")))
+      .toDF("bench_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bench")
+    corpus(spark, nDocs).toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
+  }
+
+  private def session(cores: Int): SparkSession = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-cleaning-bench")
-      .config("spark.sql.shuffle.partitions", 64)
+      .master(s"local[$cores]")
+      .appName(s"graft-cleaning-bench-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores * 2, 16))
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -96,20 +126,81 @@ object CleaningBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration.set("fs.cntfs.impl",
       classOf[CountingLocalFs].getName)
-    import spark.implicits._
+    spark
+  }
+
+  /** Recursive delete for the corpus-scale staged temp dirs — leaking
+    * one per timed chain exhausts /tmp across a ladder. */
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return
+    Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      .foreach(Files.delete)
+  }
+
+  /** One timed chain over the at-rest corpus; returns (wall s, survivors,
+    * stage dir — the CALLER deletes it after reading the manifest).
+    * `scheme` "cntfs:" counts corpus opens, "" reads plain. `stageRoot`
+    * picks where the chain's parquet staging lands (None = /tmp, i.e.
+    * the single virtual disk; Some("/dev/shm/...") = memory-backed —
+    * the stand-in for a real cluster's distributed staging store whose
+    * bandwidth scales with executor count). */
+  private def timedChain(spark: SparkSession, nDocs: Long,
+      scheme: String, stageRoot: Option[String] = None): (Double, Long, String) = {
+    val dir = corpusDir(nDocs)
+    val stage = stageRoot match {
+      case Some(root) =>
+        val r = Paths.get(root)
+        Files.createDirectories(r)
+        Files.createTempDirectory(r, "graft_cleaning_bench").toString
+      case None =>
+        Files.createTempDirectory("graft_cleaning_bench").toString
+    }
+    val t0 = System.nanoTime()
+    val survivors = CleaningPipeline.cleanedMetaResumable(
+      spark.read.parquet(s"$scheme$dir/docs"),
+      spark.read.parquet(s"$dir/bench"), stage,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 1024,
+      minJaccard = 0.8, minOverlap = 5).count()
+    ((System.nanoTime() - t0) / 1e9, survivors, stage)
+  }
+
+  private def parseStageRoot(s: String): Option[String] = s match {
+    case "shm" => Some("/dev/shm/graft-stage")
+    case "tmp" | "" => None
+    case other => Some(other)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "single") {
+      val root = if (args.length >= 4) parseStageRoot(args(3)) else None
+      singleMain(args(1).toInt, args(2).toLong, root)
+      return
+    }
+    if (args.nonEmpty && args(0) == "ladder") {
+      val nDocs = if (args.length >= 2) args(1).toLong else 2000000L
+      val (lo, hi) =
+        if (args.length >= 4) (args(2).toInt, args(3).toInt) else (8, 32)
+      val rounds = if (args.length >= 5) args(4).toInt else 3
+      val root = if (args.length >= 6) parseStageRoot(args(5)) else None
+      ladderMain(nDocs, lo, hi, rounds, root)
+      return
+    }
+    fullMain(if (args.nonEmpty) args(0).toLong else 20000000L)
+  }
+
+  /** The headline full-scale run: counted corpus opens, planted-rate
+    * assertions, per-stage manifest read-out. */
+  private def fullMain(nDocs: Long): Unit = {
+    require(nDocs % 10000 == 0, "nDocs must be a multiple of 10000")
+    val groups = nDocs / 20
+    val contam = (groups + 499) / 500
+    val expect = expectedSurvivors(nDocs)
+    val spark = session(32)
     try {
-      // corpus at rest ONCE (untimed) — the chain's input is a table
-      val dir = s"/tmp/graft_cleaning_corpus_$nDocs"
-      if (!Files.exists(Paths.get(s"$dir/docs/_SUCCESS"))) {
-        corpus(spark, nDocs, seed).toDF("doc_id", "text")
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
-        spark.range(0, groups, 1, 8).where(col("id") % 500 === 0)
-          .as[Long]
-          .map(g => (g, textOf(seed, g * 20 + 3)
-            .split(" ").take(15).mkString(" ")))
-          .toDF("bench_id", "text")
-          .write.mode(SaveMode.Overwrite).parquet(s"$dir/bench")
-      }
+      materialize(spark, nDocs)
+      val dir = corpusDir(nDocs)
 
       // calibration: one plain scan's worth of corpus file opens
       CountingLocalFs.reset()
@@ -117,19 +208,12 @@ object CleaningBench {
         .agg(sum(length(col("text")))).collect()
       val oneScanOpens = CountingLocalFs.parquetOpens()
 
-      val stage = Files.createTempDirectory("graft_cleaning_bench").toString
       CountingLocalFs.reset()
-      val t0 = System.nanoTime()
-      val survivors = CleaningPipeline.cleanedMetaResumable(
-        spark.read.parquet(s"cntfs:$dir/docs"),
-        spark.read.parquet(s"$dir/bench"), stage,
-        k = 32, bands = 16, shingleN = 3, maxBucket = 1024,
-        minJaccard = 0.8, minOverlap = 5).count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      val (wall, survivors, stage) = timedChain(spark, nDocs, "cntfs:")
       val chainOpens = CountingLocalFs.parquetOpens()
 
-      require(survivors == expectSurvivors,
-        s"survivors $survivors != planted arithmetic $expectSurvivors")
+      require(survivors == expect,
+        s"survivors $survivors != planted arithmetic $expect")
       require(chainOpens == oneScanOpens,
         s"chain opened corpus files $chainOpens times vs $oneScanOpens " +
           "for one plain scan — the read-once guarantee broke at scale")
@@ -150,7 +234,7 @@ object CleaningBench {
         s""""stage$s0":{"rows":$rows,"wall_ms":$ms}"""
       }.mkString(",")
       val json =
-        f"""{"n_docs":$nDocs,"survivors":$survivors,"expected":$expectSurvivors,""" +
+        f"""{"n_docs":$nDocs,"survivors":$survivors,"expected":$expect,""" +
           f""""wall_sec":$wall%.1f,"docs_per_sec":$dps%.0f,""" +
           f""""corpus_opens_chain":$chainOpens,"corpus_opens_one_scan":$oneScanOpens,$stageMs}"""
       println(json)
@@ -182,6 +266,116 @@ object CleaningBench {
            |""".stripMargin
       Files.write(Paths.get("BENCH.md"), row.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      deleteRecursively(stage)
     } finally spark.stop()
+  }
+
+  /** One measurement in THIS JVM: same-shape warm-up (one-tenth corpus,
+    * untimed) then the timed chain on the plain scheme. */
+  private def singleMain(cores: Int, nDocs: Long,
+      stageRoot: Option[String]): Unit = {
+    val spark = session(cores)
+    try {
+      val (_, _, warmStage) = timedChain(spark, nDocs / 10, "", stageRoot)
+      deleteRecursively(warmStage)
+      val (wall, survivors, stage) = timedChain(spark, nDocs, "", stageRoot)
+      deleteRecursively(stage)
+      println(s"SINGLE $cores $nDocs $wall $survivors")
+    } finally spark.stop()
+  }
+
+  /** Fresh child JVM per measurement (run-to-run JIT/heap state in a
+    * shared JVM dominates the signal otherwise — the ScalingBench
+    * finding, applied verbatim). */
+  private def runInChildJvm(cores: Int, nDocs: Long,
+      stageRoot: Option[String]): (Double, Long) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.tools.CleaningBench"); cmd.add("single")
+    cmd.add(cores.toString); cmd.add(nDocs.toString)
+    cmd.add(stageRoot.getOrElse("tmp"))
+    val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream)
+      .getLines().toList
+    val rc = p.waitFor()
+    val line = out.find(_.startsWith("SINGLE ")).getOrElse(
+      sys.error(s"child JVM failed (rc=$rc):\n" +
+        out.takeRight(30).mkString("\n")))
+    val Array(_, _, _, wall, surv) = line.split(" ")
+    (wall.toDouble, surv.toLong)
+  }
+
+  /** Paired two-parallelism ladder for the cleaning chain (the north
+    * rule's two-cluster-size criterion applied to the dedup path). */
+  private def ladderMain(nDocs: Long, lo: Int, hi: Int,
+      rounds: Int, stageRoot: Option[String]): Unit = {
+    require(nDocs % 100000 == 0,
+      "ladder nDocs must be a multiple of 100000 (warm-up is nDocs/10)")
+    val gen = session(32)
+    try {
+      materialize(gen, nDocs)
+      materialize(gen, nDocs / 10)
+    } finally gen.stop()
+
+    val expect = expectedSurvivors(nDocs)
+    val los = Seq.newBuilder[Double]
+    val his = Seq.newBuilder[Double]
+    (1 to rounds).foreach { _ =>
+      val (wl, sl) = runInChildJvm(lo, nDocs, stageRoot)
+      val (wh, sh) = runInChildJvm(hi, nDocs, stageRoot)
+      require(sl == expect && sh == expect,
+        s"survivors drifted: lo=$sl hi=$sh expected=$expect")
+      los += wl; his += wh
+    }
+    val l = los.result(); val h = his.result()
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val coreRatio = hi.toDouble / lo
+    val effs = l.zip(h).map { case (wl, wh) => (wl / wh) / coreRatio }
+    val effMed = median(effs)
+    val wallLo = l.min; val wallHi = h.min
+    val effBest = (wallLo / wallHi) / coreRatio
+    val rootLabel = stageRoot.map(r => s"$r (memory-backed)")
+      .getOrElse("/tmp (single virtual disk)")
+    val json =
+      f"""{"chain":"cleaning","n_docs":$nDocs,"survivors":$expect,""" +
+        s""""stage_root":"${stageRoot.getOrElse("/tmp")}",""" +
+        f""""local$lo":{"wall_sec":$wallLo%.2f,"wall_sec_median":${median(l)}%.2f},""" +
+        f""""local$hi":{"wall_sec":$wallHi%.2f,"wall_sec_median":${median(h)}%.2f},""" +
+        s""""paired_efficiencies":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
+        f""""scaling_efficiency_median_paired":$effMed%.3f,"scaling_efficiency_best":$effBest%.3f}"""
+    println(json)
+    val row =
+      f"""
+         |## CleaningBench scaling ladder (${java.time.Instant.now()})
+         |
+         |The composed cleaning chain (parquet-staged resumable form) at
+         |local[$lo] vs local[$hi], $nDocs planted docs, ScalingBench's
+         |paired protocol ($rounds rounds, lo/hi back-to-back per round,
+         |fresh child JVM per measurement, one-tenth-corpus warm-up
+         |inside). Parquet staging root: $rootLabel. Survivors identical
+         |at both levels ($expect) — partitioning-invariant.
+         |
+         || metric | local[$lo] | local[$hi] | ratio |
+         || --- | --- | --- | --- |
+         || wall best (s) | $wallLo%.2f | $wallHi%.2f | ${wallLo / wallHi}%.2f× |
+         || wall median (s) | ${median(l)}%.2f | ${median(h)}%.2f | ${median(l) / median(h)}%.2f× |
+         |
+         |Per-pair efficiencies: ${effs.map(e => f"$e%.3f").mkString(" / ")}
+         |Scaling efficiency — median over pairs: **$effMed%.3f**; best-of: $effBest%.3f
+         |```json
+         |$json
+         |```
+         |""".stripMargin
+    Files.write(Paths.get("BENCH.md"), row.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }

@@ -250,6 +250,13 @@ class CleaningPipelineSpec extends AnyFunSuite {
     val probe6 = Seq((100L, words("u") + " tail")).toDF("doc_id", "text")
     assert(SignatureStore.probe(spark, store2, probe6).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 100L)))
+
+    // the full-row resumable transform (fully-staged dir → pure resume)
+    val fullRows = CleaningPipeline.cleanResumable(docs, bench, stage2,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, storePath = Some(store2)).collect()
+    assert(fullRows.map(_.getAs[Long]("doc_id")).toSet == Set(3L, 6L))
+    assert(fullRows.forall(_.getAs[String]("text").nonEmpty))
   }
 
   test("corpus text is read exactly once across the whole chain") {
