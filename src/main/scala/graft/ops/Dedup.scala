@@ -164,13 +164,35 @@ object Dedup {
     * degenerate buckets).
     *
     * Bucket members are capped to the `maxBucket` SMALLEST doc_ids — a
-    * huge bucket is boilerplate, not near-dup. The cap is applied with a
-    * row_number window BEFORE any aggregation so the bound protects the
-    * aggregation-buffer MEMORY, not just the pair output: the round-1
-    * `slice(sort_array(collect_list(...)))` form materialized a degenerate
-    * bucket's entire membership in one buffer — a 10^8-member boilerplate
-    * bucket at web scale OOMs the executor before the slice runs. */
+    * huge bucket is boilerplate, not near-dup. The cap is the native
+    * [[graft.functions.BoundedMinLongs]] bounded-min aggregate: ONE
+    * partial-aggregable pass whose map-side combine caps every
+    * partition's contribution to a bucket at `maxBucket` rows, so a
+    * degenerate bucket (10^8 copies of a boilerplate page) costs the
+    * shuffle at most partitions×maxBucket rows and no reducer hotspot.
+    * The row-2..5 `row_number`-window form it replaces
+    * ([[candidatePairsFromBandedWindow]], kept as the differential
+    * test twin) bounded aggregation MEMORY but still shipped every
+    * member of a degenerate bucket to one reducer before dropping any —
+    * a skew hotspot at web scale — and paid a non-codegen WindowExec
+    * pass over bands×N rows. Output parity is spec-asserted including
+    * duplicate ids and biting caps. */
   private[ops] def candidatePairsFromBanded(
+      banded: DataFrame,
+      maxBucket: Int
+  ): DataFrame = {
+    val buckets = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(boundedMinIds(col("doc_id"), maxBucket).as("ids"))
+      .where(size(col("ids")) >= 2)
+    pairsFromBuckets(buckets)
+  }
+
+  /** The pre-round-6 window-cap form of [[candidatePairsFromBanded]] —
+    * identical semantics (cap to the `maxBucket` smallest doc_ids,
+    * duplicates preserved), kept ONLY as the differential twin for the
+    * bounded-min aggregate's parity spec. */
+  private[ops] def candidatePairsFromBandedWindow(
       banded: DataFrame,
       maxBucket: Int
   ): DataFrame = {
@@ -184,6 +206,18 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) >= 2)
+    pairsFromBuckets(buckets)
+  }
+
+  /** `k` smallest values of a long column per group, ascending —
+    * [[graft.functions.BoundedMinLongs]] as a Column. */
+  private def boundedMinIds(c: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.BoundedMinLongs(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
@@ -194,7 +228,6 @@ object Dedup {
       // doc outright
       .where(col("id1") =!= col("id2"))
       .distinct()
-  }
 
   /** All ordered pairs (id1 < id2) of an array column — HOF composition. */
   private def pairsOf(ids: Column): Column =

@@ -1,0 +1,116 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic decomposition of the cleaning chain's near-dup stage
+  * (stage 3) — times each sub-step in isolation over the CleaningBench
+  * corpus so the scaling ladder's per-stage narrative is measured, not
+  * inferred. Each step is materialized (localCheckpoint + count) before
+  * the next is timed, so a step's wall includes exactly its own shuffles.
+  *
+  * Usage: runMain graft.ops.Stage3Probe <cores> [nDocs=2000000]
+  * (requires /tmp/graft_cleaning_corpus_<nDocs> from a CleaningBench run)
+  */
+object Stage3Probe {
+
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val nDocs = if (args.length >= 2) args(1).toLong else 2000000L
+    val dir = s"/tmp/graft_cleaning_corpus_$nDocs"
+    val (k, bands, shingleN, maxBucket, minJaccard) = (32, 16, 3, 1024, 0.8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"stage3-probe-$cores")
+      .config("spark.sql.shuffle.partitions", math.max(cores * 2, 16))
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"PROBE $cores $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+
+      val stagedDir = Files.createTempDirectory("stage3probe").toString
+      timed("stage0_write_staged") {
+        spark.read.parquet(s"$dir/docs").select(
+            col("doc_id"),
+            md5(col("text").cast("binary")).as("_h"),
+            Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+            Dedup.minhashSignature(col("text"), k, shingleN).as("sig"))
+          .write.mode(SaveMode.Overwrite).parquet(stagedDir)
+      }
+      val staged = spark.read.parquet(stagedDir)
+
+      // fine decomposition of the banding step, each sub-step isolated
+      // behind its own lazy checkpoint
+      val bandedCk = timed("band_rows") {
+        val b = Dedup.bandRowsFromSigs(
+            staged.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
+            k, bands)
+          .localCheckpoint(eager = false)
+        System.err.println(s"PROBE $cores banded_n ${b.count()}")
+        b
+      }
+      // banding variant: hash the signature slice as an INT ARRAY (no
+      // per-band string build) — candidate-set-equivalent (bijective key
+      // change), measured here before any production switch
+      timed("band_rows_arrayhash") {
+        val rows = k / bands
+        val b = staged.where(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(bands - 1)),
+              bN => struct(bN.as("band"),
+                xxhash64(slice(col("sig"), bN * rows + 1, lit(rows)))
+                  .as("bh")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bh").as("bh"))
+          .localCheckpoint(eager = false)
+        System.err.println(s"PROBE $cores banded_arrayhash_n ${b.count()}")
+      }
+      // paired A/B: bounded-min aggregate vs row_number-window cap,
+      // interleaved in THIS JVM over the same checkpointed banded input
+      // (ambient host contention swings absolute walls 2×; pairing
+      // seconds apart isolates the implementation delta)
+      (1 to 3).foreach { r =>
+        timed(s"candidates_AGG_r$r") {
+          Dedup.candidatePairsFromBanded(bandedCk, maxBucket).count()
+        }
+        timed(s"candidates_WINDOW_r$r") {
+          Dedup.candidatePairsFromBandedWindow(bandedCk, maxBucket).count()
+        }
+      }
+      val pairs = timed("candidates_from_banded") {
+        val p = Dedup.candidatePairsFromBanded(bandedCk, maxBucket)
+          .localCheckpoint(eager = false)
+        System.err.println(s"PROBE $cores candidates_n ${p.count()}")
+        p
+      }
+
+      val verified = timed("jaccard_verify") {
+        val v = Dedup.jaccardVerifyOnShingles(
+            staged.select(col("doc_id"), col("sh")), pairs, minJaccard)
+          .localCheckpoint(eager = false)
+        System.err.println(s"PROBE $cores verified_n ${v.count()}")
+        v
+      }
+
+      timed("cc_clusters") {
+        val drops = Dedup.clustersFromPairs(verified)
+          .where(col("doc_id") =!= col("cluster_rep"))
+          .select(col("doc_id"))
+        System.err.println(s"PROBE $cores near_drops_n ${drops.count()}")
+      }
+
+      graft.tools.TempDirs.deleteRecursively(stagedDir)
+    } finally spark.stop()
+  }
+}

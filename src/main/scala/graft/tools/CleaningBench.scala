@@ -279,6 +279,12 @@ object CleaningBench {
       val (_, _, warmStage) = timedChain(spark, nDocs / 10, "", stageRoot)
       deleteRecursively(warmStage)
       val (wall, survivors, stage) = timedChain(spark, nDocs, "", stageRoot)
+      // per-stage breakdown for variance diagnosis (stderr — the parent
+      // parses only the SINGLE line on stdout)
+      val stages = CleaningPipeline.manifest(spark, stage)
+        .orderBy("stage").collect()
+        .map(r => s"stage${r.getInt(0)}=${r.getLong(2)}ms")
+      System.err.println(s"STAGES $cores ${stages.mkString(" ")}")
       deleteRecursively(stage)
       println(s"SINGLE $cores $nDocs $wall $survivors")
     } finally spark.stop()
@@ -303,6 +309,8 @@ object CleaningBench {
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     val rc = p.waitFor()
+    // relay the child's per-stage breakdown for variance diagnosis
+    out.filter(_.startsWith("STAGES ")).foreach(println)
     val line = out.find(_.startsWith("SINGLE ")).getOrElse(
       sys.error(s"child JVM failed (rc=$rc):\n" +
         out.takeRight(30).mkString("\n")))

@@ -43,9 +43,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH: a degenerate bucket is capped pre-aggregation, pairs bounded") {
-    // 10k identical docs = one boilerplate bucket in every band. The cap
-    // must bound what any aggregation buffer sees (row_number pre-cap),
-    // and pair output must cover exactly the maxBucket smallest doc_ids.
+    // 10k identical docs = one boilerplate bucket in every band. The
+    // bounded-min aggregate must bound what any aggregation buffer (and
+    // any single reducer) sees, and pair output must cover exactly the
+    // maxBucket smallest doc_ids.
     val n = 10000
     val boiler = (1 to n).map(i => (i.toLong, "b1 b2 b3 b4 b5 b6 b7 b8"))
     val d = docs(boiler: _*)
