@@ -270,6 +270,30 @@ object CleaningBench {
     } finally spark.stop()
   }
 
+  /** Saturating CPU calibration: 32 threads × fixed splitmix work. On an
+    * idle host this wall is a constant; ambient contention (the shared
+    * virtualized box's neighbors) inflates it, so reporting it beside
+    * each measurement makes contended windows VISIBLE in the record
+    * instead of silently biasing the scaling ratio (a neighbor stealing
+    * cores barely touches a local[8] run with 24 idle vCPUs of slack but
+    * directly slows local[32] — ambient theft biases efficiency DOWN). */
+  private def cpuCalibration(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      new Thread(() => {
+        var z = 0x9E3779B97F4A7C15L * (t + 1)
+        var i = 0L
+        while (i < 400000000L) {
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          i += 1
+        }
+        if (z == 42L) println(z) // defeat dead-code elimination
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One measurement in THIS JVM: same-shape warm-up (one-tenth corpus,
     * untimed) then the timed chain on the plain scheme. */
   private def singleMain(cores: Int, nDocs: Long,
@@ -278,6 +302,7 @@ object CleaningBench {
     try {
       val (_, _, warmStage) = timedChain(spark, nDocs / 10, "", stageRoot)
       deleteRecursively(warmStage)
+      System.err.println(f"CALIB $cores ${cpuCalibration()}%.2f s")
       val (wall, survivors, stage) = timedChain(spark, nDocs, "", stageRoot)
       // per-stage breakdown for variance diagnosis (stderr — the parent
       // parses only the SINGLE line on stdout)
@@ -309,8 +334,10 @@ object CleaningBench {
     val out = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toList
     val rc = p.waitFor()
-    // relay the child's per-stage breakdown for variance diagnosis
-    out.filter(_.startsWith("STAGES ")).foreach(println)
+    // relay the child's per-stage breakdown + CPU calibration for
+    // variance diagnosis
+    out.filter(l => l.startsWith("STAGES ") || l.startsWith("CALIB "))
+      .foreach(println)
     val line = out.find(_.startsWith("SINGLE ")).getOrElse(
       sys.error(s"child JVM failed (rc=$rc):\n" +
         out.takeRight(30).mkString("\n")))
