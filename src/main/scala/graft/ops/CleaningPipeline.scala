@@ -114,17 +114,20 @@ object CleaningPipeline {
     // stage 3: near-dup dedup — band the staged signatures (sub-shingle
     // docs gated exactly like the batch path: no shingles, no banding),
     // shared bucket-cap pair stage, verify on the staged shingle sets,
-    // CC keep-min representative
+    // CC keep-min representative. The drop-filter anti-joins touch only
+    // the (doc_id, sig) projection; the verify join reads the heavy
+    // shingle column from the UNfiltered staged frame — candidate ids
+    // came from banding over r2, so they already exclude every dropped
+    // document, and the shingle sets never ride through an anti-join
+    // exchange.
     val banded = Dedup.bandRowsFromSigs(
       r2.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
       k, bands)
     val pairs = Dedup.jaccardVerifyOnShingles(
-      r2.select(col("doc_id"), col("sh")),
+      staged.select(col("doc_id"), col("sh")),
       Dedup.candidatePairsFromBanded(banded, maxBucket), minJaccard)
-    val drops = Dedup.clustersFromPairs(pairs)
-      .where(col("doc_id") =!= col("cluster_rep"))
-      .select(col("doc_id"))
-    val survivors0 = r2.join(drops, Seq("doc_id"), "left_anti")
+    val survivors0 =
+      r2.join(Dedup.nearDupDropIds(pairs), Seq("doc_id"), "left_anti")
     // the store-append tail has THREE more consumers of the survivor
     // frame (the watermark agg and two staged writes) plus the caller's
     // own action — checkpoint once so each reads materialized rows
@@ -370,17 +373,25 @@ object CleaningPipeline {
     }
 
     // stage 0 — THE text pass, at rest (staging the BINDING run's keep
-    // columns, a superset of this caller's)
+    // columns, a superset of this caller's). `nsh` carries the shingle
+    // count as its own tiny column so stage 3's sub-shingle gate never
+    // has to decode the heavy `sh` array just to take its size.
     if (!hasSuccess(stagedDir)) {
       docs.select(
-        Seq(col("doc_id")) ++ stagedKeep.map(col) ++ Seq(
-          md5(col("text").cast("binary")).as("_h"),
-          Dedup.distinctShingles(col("text"), shingleN).as("sh"),
-          Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
+          Seq(col("doc_id")) ++ stagedKeep.map(col) ++ Seq(
+            md5(col("text").cast("binary")).as("_h"),
+            Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+            Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
+        .withColumn("nsh", size(col("sh")))
         .write.mode(SaveMode.Overwrite).parquet(stagedDir)
       record(0, stagedDir)
     }
     def staged = spark.read.parquet(stagedDir)
+    // stage dirs staged before the nsh column existed resume fine — the
+    // gate falls back to sizing the array
+    def shCount =
+      if (spark.read.parquet(stagedDir).columns.contains("nsh")) col("nsh")
+      else size(col("sh"))
     if (upTo < 1) return None
 
     // stage 1 — decontamination flags over the staged shingle sets
@@ -411,21 +422,23 @@ object CleaningPipeline {
     def exactDrops = spark.read.parquet(exactDir)
     if (upTo < 3) return None
 
-    // stage 3 — near-dup drops from the staged signatures/shingles
+    // stage 3 — near-dup drops from the staged signatures/shingles. The
+    // drop-filter anti-joins run over the (doc_id, sig) projection only;
+    // the verify join reads the heavy shingle column straight from the
+    // staged table (candidate ids came from banding over the filtered
+    // frame, so they already exclude every dropped document) — the
+    // shingle sets never ride through an anti-join exchange.
     t0 = System.nanoTime()
     if (!hasSuccess(nearDir)) {
-      val r2 = staged.select(col("doc_id"), col("sh"), col("sig"))
+      val sigs = staged
+        .where(shCount > 0).select(col("doc_id"), col("sig"))
         .join(flagged, Seq("doc_id"), "left_anti")
         .join(exactDrops, Seq("doc_id"), "left_anti")
-      val banded = Dedup.bandRowsFromSigs(
-        r2.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
-        k, bands)
       val pairs = Dedup.jaccardVerifyOnShingles(
-        r2.select(col("doc_id"), col("sh")),
-        Dedup.candidatePairsFromBanded(banded, maxBucket), minJaccard)
-      Dedup.clustersFromPairs(pairs)
-        .where(col("doc_id") =!= col("cluster_rep"))
-        .select(col("doc_id"))
+        staged.select(col("doc_id"), col("sh")),
+        Dedup.candidatePairsFromBanded(
+          Dedup.bandRowsFromSigs(sigs, k, bands), maxBucket), minJaccard)
+      Dedup.nearDupDropIds(pairs)
         .write.mode(SaveMode.Overwrite).parquet(nearDir)
       record(3, nearDir)
     }

@@ -316,6 +316,19 @@ object Dedup {
     clustersFromPairs(pairs)
   }
 
+  /** Drop-ids (clustered non-representatives) from verified near-dup
+    * pairs — the lean path for TRANSFORM consumers. [[clustersFromPairs]]
+    * additionally aggregates cluster sizes (a groupBy plus a join), which
+    * exists for the corpus ANALYTIC; dropping non-representatives needs
+    * only `node != component` over the CC labels (the component label IS
+    * the min doc_id), so the transform path skips those two exchanges
+    * and their fixed job latency. Same drop set by construction. */
+  private[graft] def nearDupDropIds(pairs: DataFrame): DataFrame =
+    graft.canon.ConnectedComponents.run(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+
   /** Near-dup dedup as a corpus TRANSFORM: drop every clustered document
     * except its representative (min doc_id per component); singletons pass
     * through. The anti-join's right side is `(doc_id)` only — id-scale,
@@ -329,10 +342,10 @@ object Dedup {
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
   ): DataFrame = {
-    val drop = nearDupGroups(docs, k, bands, shingleN, maxBucket, minJaccard)
-      .where(col("doc_id") =!= col("cluster_rep"))
-      .select(col("doc_id"))
-    docs.join(drop, Seq("doc_id"), "left_anti")
+    val pairs = jaccardVerify(docs,
+      lshCandidatePairs(docs, k, bands, shingleN, maxBucket),
+      shingleN, minJaccard)
+    docs.join(nearDupDropIds(pairs), Seq("doc_id"), "left_anti")
   }
 
   // ---- SimHash ---------------------------------------------------------
