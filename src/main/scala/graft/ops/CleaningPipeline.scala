@@ -88,11 +88,17 @@ object CleaningPipeline {
           " every future near-duplicate")
     }
     val keep = keepCols.map(col)
-    // THE text pass: hash + shingles + signature in one projection
+    // THE text pass: hash + shingles + signature in one projection. The
+    // shingle sets carry the at-rest HASHED representation
+    // ([[Dedup.hashShingles]]): every consumer below (decontamination
+    // overlap counts, Jaccard verify, the store append) is
+    // cardinality-arithmetic over the sets, which hashing preserves,
+    // and the staged artifact drops ~2.5× in bytes.
     val staged = docs.select(
       Seq(col("doc_id")) ++ keep ++ Seq(
         md5(col("text").cast("binary")).as("_h"),
-        Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+        Dedup.hashShingles(
+          Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
         Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
       .localCheckpoint()
 
@@ -380,7 +386,8 @@ object CleaningPipeline {
       docs.select(
           Seq(col("doc_id")) ++ stagedKeep.map(col) ++ Seq(
             md5(col("text").cast("binary")).as("_h"),
-            Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+            Dedup.hashShingles(
+              Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
             Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
         .withColumn("nsh", size(col("sh")))
         .write.mode(SaveMode.Overwrite).parquet(stagedDir)
@@ -392,6 +399,16 @@ object CleaningPipeline {
     def shCount =
       if (spark.read.parquet(stagedDir).columns.contains("nsh")) col("nsh")
       else size(col("sh"))
+    // stage dirs staged before shingle sets were hashed at rest resume
+    // fine too: decontamination adapts its bench side to the staged
+    // element type, Jaccard is representation-agnostic, and only the
+    // store append — whose contract IS hashed — re-hashes on the way out
+    def shForStore =
+      staged.schema("sh").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => col("sh")
+        case _ => Dedup.hashShingles(col("sh")).as("sh")
+      }
     if (upTo < 1) return None
 
     // stage 1 — decontamination flags over the staged shingle sets
@@ -476,7 +493,7 @@ object CleaningPipeline {
             Dedup.bandRowsFromSigs(
               surv.where(size(col("sh")) > 0)
                 .select(col("doc_id"), col("sig")), k, bands),
-            surv.select(col("doc_id"), col("sh")),
+            surv.select(col("doc_id"), shForStore),
             allowReplay = allowStoreReplay || attempted)
         }
         Files.createFile(done)

@@ -84,7 +84,21 @@ object Decontaminate {
       minRatio: Double = 0.0,
       broadcastBench: Boolean = true
   ): DataFrame = {
-    val benchSets = withShingles(bench, "bench_id", shingleN)
+    // the doc side may arrive in the at-rest HASHED representation
+    // ([[Dedup.hashShingles]] — the cleaning chain's staged frame); the
+    // bench side is computed here from text, so hash it to match. Hashing
+    // preserves per-set distinctness (see hashShingles' collision bound),
+    // so the overlap counts and containment ratios are unchanged.
+    val docsHashed = docShingleSets.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val benchSets0 = withShingles(bench, "bench_id", shingleN)
+    val benchSets =
+      if (docsHashed)
+        benchSets0.withColumn("sh", Dedup.hashShingles(col("sh")))
+      else benchSets0
     val dsh = docShingleSets
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bsh = benchSets

@@ -146,6 +146,31 @@ object Dedup {
   private[ops] def distinctShingleSets(docs: DataFrame, shingleN: Int): DataFrame =
     docs.select(col("doc_id"), distinctShingles(col("text"), shingleN).as("sh"))
 
+  /** Per-shingle 64-bit hash of a shingle-set column: `array<string>` →
+    * `array<long>` (XxHash64 inside a codegen'd `transform` HOF) — the
+    * AT-REST representation of shingle sets (the cleaning chain's staged
+    * frame, [[SignatureStore]]'s shingle table). Distinct strings map to
+    * distinct hashes with overwhelming probability (a within-document
+    * cardinality change needs two of a doc's distinct shingles to share
+    * a 64-bit hash: P ≈ |sh|²·2⁻⁶⁵ < 1e-15 even at 100k shingles — the
+    * same class of bound as the documented LSH miss probabilities), so
+    * set sizes, intersections, and unions — Jaccard, containment
+    * overlaps — computed over hashed sets equal those over the raw sets,
+    * while at-rest bytes drop ~2.5× (8-byte longs vs ~20-byte UTF-8
+    * 3-gram strings) and every downstream `array_intersect` compares
+    * longs instead of strings. Direct (unstaged) verify paths keep raw
+    * strings: their shingle sets never rest on disk, and exactness is
+    * then unconditional. */
+  def hashShingles(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** Distinct HASHED word-shingle set per document `(doc_id, sh)` —
+    * [[distinctShingleSets]] in the at-rest representation
+    * ([[hashShingles]]); what [[SignatureStore]] persists and probes. */
+  private[ops] def distinctShingleHashSets(docs: DataFrame,
+      shingleN: Int): DataFrame =
+    docs.select(col("doc_id"),
+      hashShingles(distinctShingles(col("text"), shingleN)).as("sh"))
+
   /** LSH banding: docs sharing a (band, bh) bucket are candidate pairs.
     * `maxBucket` caps the per-bucket candidate fan-out (skew guard). */
   def lshCandidatePairs(

@@ -138,7 +138,8 @@ object SignatureStore {
     // race back into the text scan independently.
     val staged = docs.select(
       col("doc_id").cast("long").as("doc_id"),
-      Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+      Dedup.hashShingles(
+        Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
       Dedup.minhashSignature(col("text"), k, shingleN).as("sig"))
       .localCheckpoint()
     // the ingest watermark for the monotone-id contract, off the staged
@@ -183,7 +184,7 @@ object SignatureStore {
     * Writers cast `doc_id` to long so any integer id type lands on this
     * contract. */
   private val BandsSchema = "doc_id LONG, band INT, bh LONG, bh_pfx LONG"
-  private val ShinglesSchema = "doc_id LONG, sh ARRAY<STRING>, doc_pfx LONG"
+  private val ShinglesSchema = "doc_id LONG, sh ARRAY<LONG>, doc_pfx LONG"
 
   /** Version of the signature hash function persisted in band keys.
     * 2 = byte-level FNV-1a over UTF-8 ([[graft.functions.MinHashSig]]);
@@ -191,11 +192,22 @@ object SignatureStore {
     * bits change — stores must be re-ingested, not silently probed. */
   val SigVersion: Int = 2
 
+  /** Representation of the persisted shingle sets: per-shingle XxHash64
+    * longs ([[Dedup.hashShingles]]) — ~2.5× fewer at-rest bytes than raw
+    * strings and long-vs-string `array_intersect` on every verify, with
+    * set cardinalities (hence Jaccard) preserved up to a ≈1e-15
+    * within-document collision bound. Persisted in the metadata like
+    * [[SigVersion]]: a probe hashing differently than ingest would
+    * verify nothing, so a store written under another representation
+    * (or a legacy raw-string store, which carries no field) refuses
+    * loudly — re-ingest with [[write]]. */
+  val ShRepr: String = "xxhash64"
+
   private def metaJson(nPrefixes: Int, k: Int, bands: Int,
       shingleN: Int, maxDocId: Long): String =
     s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,""" +
       s""""shingleN":$shingleN,"sigVersion":$SigVersion,""" +
-      s""""maxDocId":$maxDocId}"""
+      s""""shRepr":"$ShRepr","maxDocId":$maxDocId}"""
 
   /** Incremental probe: verified near-dup pairs `(id1, id2, jaccard)`
     * between `batch(doc_id, text)` and the store, PLUS pairs within the
@@ -257,7 +269,7 @@ object SignatureStore {
     // pair stage below)
     val bKeys = Dedup.bandedSignatures(b, k, bands, shingleN)
       .localCheckpoint()
-    val bSh = Dedup.distinctShingleSets(b, shingleN).localCheckpoint()
+    val bSh = Dedup.distinctShingleHashSets(b, shingleN).localCheckpoint()
 
     // monotone-ingest guard, off the checkpointed batch-sized table (no
     // extra lineage run): a batch id at or below the stored watermark
@@ -361,12 +373,13 @@ object SignatureStore {
     val b = batch.withColumn("doc_id", col("doc_id").cast("long"))
     stageAppend(spark, path,
       Dedup.bandedSignatures(b, m.k, m.bands, m.shingleN),
-      Dedup.distinctShingleSets(b, m.shingleN), allowReplay, None)
+      Dedup.distinctShingleHashSets(b, m.shingleN), allowReplay, None)
   }
 
   /** Append PRE-COMPUTED band keys + shingle sets (must come from this
     * store's own parameters — e.g. the frames [[probeWithSignatures]]
-    * returns, filtered to the surviving doc_ids).
+    * returns, filtered to the surviving doc_ids; `sh` must be the
+    * HASHED representation, [[Dedup.hashShingles]]).
     *
     * Failure discipline (see the object scaladoc): the new files are
     * written into a staging directory while the live store — metadata
@@ -397,6 +410,15 @@ object SignatureStore {
       allowReplay: Boolean = false,
       advanceWatermarkTo: Option[Long] = None): Boolean = {
     val m = readMeta(spark, path)
+    // the store persists HASHED shingle sets (ShRepr) — a raw-string
+    // append would never intersect hashed probe sets; refuse at the door
+    require(shingleSets.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }, s"appendSignatures requires sh: array<long> " +
+      s"(Dedup.hashShingles — the store's '$ShRepr' at-rest " +
+      s"representation); got ${shingleSets.schema("sh").dataType.sql}")
     require(!fs(spark, path).exists(journalPath(path)),
       s"$path has an unfinished staged commit (${journalPath(path)}) — " +
         "run SignatureStore.recover first")
@@ -775,6 +797,17 @@ object SignatureStore {
       s"$where was written with signature version $version, this engine " +
         s"computes version $SigVersion — band hashes from different " +
         "versions never collide, so probing would silently admit every " +
+        "near-duplicate. Re-ingest the store with SignatureStore.write.")
+    // stores written before shingle sets were hashed at rest carry no
+    // shRepr — their raw-string sets never intersect recomputed hashed
+    // batch sets, so verification would emit nothing; refuse loudly
+    val shRepr =
+      (""""shRepr"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("raw")
+    require(shRepr == ShRepr,
+      s"$where persists shingle sets in representation '$shRepr', this " +
+        s"engine computes '$ShRepr' — verify joins across " +
+        "representations match nothing, silently admitting every " +
         "near-duplicate. Re-ingest the store with SignatureStore.write.")
     // stores written before the watermark existed carry no maxDocId —
     // treat them as empty-watermarked (every batch id passes), so old

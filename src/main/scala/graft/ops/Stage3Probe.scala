@@ -44,11 +44,18 @@ object Stage3Probe {
         spark.read.parquet(s"$dir/docs").select(
             col("doc_id"),
             md5(col("text").cast("binary")).as("_h"),
-            Dedup.distinctShingles(col("text"), shingleN).as("sh"),
+            Dedup.hashShingles(
+              Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
             Dedup.minhashSignature(col("text"), k, shingleN).as("sig"))
           .write.mode(SaveMode.Overwrite).parquet(stagedDir)
       }
       val staged = spark.read.parquet(stagedDir)
+      System.err.println(s"PROBE $cores staged_bytes " +
+        Files.walk(java.nio.file.Paths.get(stagedDir)).toArray.map {
+          case p: java.nio.file.Path if Files.isRegularFile(p) =>
+            Files.size(p)
+          case _ => 0L
+        }.sum)
 
       // fine decomposition of the banding step, each sub-step isolated
       // behind its own lazy checkpoint
@@ -108,6 +115,12 @@ object Stage3Probe {
           .where(col("doc_id") =!= col("cluster_rep"))
           .select(col("doc_id"))
         System.err.println(s"PROBE $cores near_drops_n ${drops.count()}")
+      }
+      // the lean drop path the chain actually runs (no cluster-size
+      // groupBy+join) — paired against cc_clusters above
+      timed("cc_drop_ids") {
+        System.err.println(s"PROBE $cores lean_drops_n " +
+          s"${Dedup.nearDupDropIds(verified).count()}")
       }
 
       graft.tools.TempDirs.deleteRecursively(stagedDir)

@@ -336,4 +336,55 @@ class CleaningPipelineSpec extends AnyFunSuite {
       s"resumed chain re-opened corpus files $resumeOpens times — " +
         "resume must run entirely off the staged projection")
   }
+
+  test("resume compatibility: a stage dir staged with raw-string shingle sets") {
+    import spark.implicits._
+    // a stage dir written by the pre-hashed engine: sh is array<string>,
+    // no nsh column. The resumed chain must (a) compute the same drops
+    // (decontamination adapts its bench side, Jaccard is representation-
+    // agnostic), (b) NOT rewrite the staged table, and (c) hash on the
+    // way into the store so the store contract holds.
+    val benchToks = (1 to 12).map(i => s"b$i").mkString(" ")
+    val bench = Seq((900L, benchToks)).toDF("bench_id", "text")
+    val doc3 = words("m")
+    val docs = Seq(
+      (1L, "x1 x2 " + benchToks + " y1 y2"), // contaminated
+      (3L, doc3), (4L, doc3),                // exact-dup pair: keep 3
+      (5L, words("m") + " x9"),              // near-dup of 3: drop
+      (6L, words("u")))                      // clean survivor
+      .toDF("doc_id", "text")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_legacy_stage").toString
+    docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("_h"),
+        graft.ops.Dedup.distinctShingles(col("text"), 3).as("sh"),
+        graft.ops.Dedup.minhashSignature(col("text"), 32, 3).as("sig"))
+      .write.parquet(s"$stage/staged")
+    assert(spark.read.parquet(s"$stage/staged").schema("sh").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, true))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_legacy_store").toString
+    SignatureStore.init(spark, store, nPrefixes = 8, k = 32, bands = 16,
+      shingleN = 3)
+    val kept = CleaningPipeline.cleanedMetaResumable(docs, bench, stage,
+      Nil, k = 32, bands = 16, shingleN = 3, maxBucket = 64,
+      minJaccard = 0.8, minOverlap = 5, storePath = Some(store))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 6L))
+    // staged table untouched (still raw strings), store hashed
+    assert(spark.read.parquet(s"$stage/staged").schema("sh").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, true))
+    assert(spark.read.parquet(s"$store/shingles").schema("sh").dataType
+      match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      })
+    // the hashed store answers probes like a natively-hashed one
+    val probe6 = Seq((100L, words("u") + " tail")).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, store, probe6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((6L, 100L)))
+  }
 }

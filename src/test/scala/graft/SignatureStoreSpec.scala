@@ -183,6 +183,53 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("signature version"))
   }
 
+  test("store persists hashed shingle sets; a different representation refuses") {
+    import spark.implicits._
+    val corpus = (0L until 10L)
+      .map(i => (i, (1 to 20).map(t => s"c${i}_$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_shrepr").toString
+    SignatureStore.write(corpus, path, nPrefixes = 8)
+    // the at-rest representation is array<long> (Dedup.hashShingles)
+    assert(spark.read.parquet(s"$path/shingles").schema("sh").dataType
+      match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => true
+        case _ => false
+      })
+    // a store persisting another representation (legacy raw strings)
+    // refuses probes loudly — hashed batch sets would match nothing
+    val meta = java.nio.file.Paths.get(s"$path/_store_meta.json")
+    val json = java.nio.file.Files.readString(meta)
+    java.nio.file.Files.writeString(meta,
+      json.replace(s""""shRepr":"${SignatureStore.ShRepr}"""",
+        """"shRepr":"raw""""))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/._store_meta.json.crc"))
+    val batch = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.probe(spark, path, batch).count()
+    }
+    assert(e.getMessage.contains("representation"))
+    // an append of raw-string sets refuses at the door too
+    val rawSh = Seq((101L, Seq("a b c", "b c d")))
+      .toDF("doc_id", "sh")
+    val e2 = intercept[IllegalArgumentException] {
+      SignatureStore.appendSignatures(spark,
+        { // restore good meta first so readMeta passes
+          java.nio.file.Files.writeString(meta, json)
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(s"$path/._store_meta.json.crc"))
+          path
+        },
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit(0).as("band"), lit(0L).as("bh")).limit(0),
+        rawSh)
+    }
+    assert(e2.getMessage.contains("array<long>"))
+  }
+
   test("monotone-ingest watermark: probe and append refuse batch ids at or below the stored max") {
     import spark.implicits._
     val corpus = (0L until 100L)
