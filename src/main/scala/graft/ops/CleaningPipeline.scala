@@ -125,13 +125,21 @@ object CleaningPipeline {
     // shingle column from the UNfiltered staged frame — candidate ids
     // came from banding over r2, so they already exclude every dropped
     // document, and the shingle sets never ride through an anti-join
-    // exchange.
+    // exchange. The verify side is further semi-join-REDUCED to the
+    // candidate population before its two heavy joins
+    // ([[Dedup.jaccardVerifyOnShinglesReduced]]).
     val banded = Dedup.bandRowsFromSigs(
       r2.where(size(col("sh")) > 0).select(col("doc_id"), col("sig")),
       k, bands)
-    val pairs = Dedup.jaccardVerifyOnShingles(
-      staged.select(col("doc_id"), col("sh")),
-      Dedup.candidatePairsFromBanded(banded, maxBucket), minJaccard)
+    // candidates are id pairs — tiny next to the corpus. Checkpointing
+    // them (a) makes the broadcast gate's count free and (b) keeps the
+    // banding/candidate shuffle from re-running under the verify joins
+    // and the CC loop.
+    val cand = Dedup.candidatePairsFromBanded(banded, maxBucket)
+      .localCheckpoint()
+    val pairs = Dedup.jaccardVerifyOnShinglesReduced(
+      staged.select(col("doc_id"), col("sh")), cand, minJaccard,
+      broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
     val survivors0 =
       r2.join(Dedup.nearDupDropIds(pairs), Seq("doc_id"), "left_anti")
     // the store-append tail has THREE more consumers of the survivor
@@ -444,17 +452,24 @@ object CleaningPipeline {
     // the verify join reads the heavy shingle column straight from the
     // staged table (candidate ids came from banding over the filtered
     // frame, so they already exclude every dropped document) — the
-    // shingle sets never ride through an anti-join exchange.
+    // shingle sets never ride through an anti-join exchange, and the
+    // verify side is semi-join-reduced to the candidate population
+    // before its two heavy joins.
     t0 = System.nanoTime()
     if (!hasSuccess(nearDir)) {
       val sigs = staged
         .where(shCount > 0).select(col("doc_id"), col("sig"))
         .join(flagged, Seq("doc_id"), "left_anti")
         .join(exactDrops, Seq("doc_id"), "left_anti")
-      val pairs = Dedup.jaccardVerifyOnShingles(
-        staged.select(col("doc_id"), col("sh")),
-        Dedup.candidatePairsFromBanded(
-          Dedup.bandRowsFromSigs(sigs, k, bands), maxBucket), minJaccard)
+      // candidate id pairs checkpointed once: the broadcast gate's count
+      // is then free, and neither the verify joins nor the CC loop
+      // re-runs the banding/candidate shuffle
+      val cand = Dedup.candidatePairsFromBanded(
+          Dedup.bandRowsFromSigs(sigs, k, bands), maxBucket)
+        .localCheckpoint()
+      val pairs = Dedup.jaccardVerifyOnShinglesReduced(
+        staged.select(col("doc_id"), col("sh")), cand, minJaccard,
+        broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
       Dedup.nearDupDropIds(pairs)
         .write.mode(SaveMode.Overwrite).parquet(nearDir)
       record(3, nearDir)

@@ -297,6 +297,45 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Guidance bound for `broadcastIds` in
+    * [[jaccardVerifyOnShinglesReduced]]: a candidate-id set under ~4M
+    * longs builds a compact broadcast relation (tens of MB); beyond it,
+    * drop the hint and let AQE pick the semi-join strategy from runtime
+    * sizes. Callers with a materialized pair set gate on
+    * `2 * pairs.count() <= BroadcastIdsGuidance` (a free upper bound on
+    * the distinct-id count — no extra distinct job). */
+  val BroadcastIdsGuidance: Long = 4000000L
+
+  /** As [[jaccardVerifyOnShingles]], but the heavy shingle-set table is
+    * first REDUCED to the documents that appear in some candidate pair.
+    *
+    * Why this exists: the verify step joins `pairs` against `shingleSets`
+    * twice, and without reduction BOTH joins exchange the full corpus-
+    * sized shingle arrays — at 20M docs that is 2 × ~17 GB of heavy rows
+    * through the shuffle when only the few percent of documents that LSH
+    * banding actually paired are ever matched. The semi-join keeps the
+    * heavy arrays of exactly those documents (inner joins on ids drawn
+    * from `pairs` make the reduction a semantic no-op — spec-asserted
+    * against the unreduced path), so the heavy exchange is proportional
+    * to the CANDIDATE population, not the corpus. With `broadcastIds`
+    * the reduction itself is a map-side broadcast semi-join and the
+    * corpus-sized table is never shuffled at all; with it off the ids
+    * still cut the two downstream heavy joins to candidate scale. */
+  def jaccardVerifyOnShinglesReduced(
+      shingleSets: DataFrame,
+      pairs: DataFrame,
+      minJaccard: Double = 0.8,
+      broadcastIds: Boolean = true
+  ): DataFrame = {
+    val ids = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id")))
+      .distinct()
+    val hinted = if (broadcastIds) broadcast(ids) else ids
+    jaccardVerifyOnShingles(
+      shingleSets.join(hinted, Seq("doc_id"), "left_semi"), pairs,
+      minJaccard)
+  }
+
   // ---- near-dup clusters (pairs → components → representative) --------
 
   /** Cluster membership from verified near-dup pairs: connected components

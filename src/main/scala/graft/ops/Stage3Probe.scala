@@ -109,6 +109,32 @@ object Stage3Probe {
         System.err.println(s"PROBE $cores verified_n ${v.count()}")
         v
       }
+      // A/B: the semi-join-reduced verify, broadcast hint on and off,
+      // against the unreduced form above (same JVM, seconds apart)
+      (1 to 2).foreach { r =>
+        timed(s"verify_reduced_bcast_r$r") {
+          System.err.println(s"PROBE $cores verified_reduced_b_n " +
+            Dedup.jaccardVerifyOnShinglesReduced(
+              staged.select(col("doc_id"), col("sh")), pairs, minJaccard,
+              broadcastIds = true).count())
+        }
+        timed(s"verify_reduced_plain_r$r") {
+          System.err.println(s"PROBE $cores verified_reduced_p_n " +
+            Dedup.jaccardVerifyOnShinglesReduced(
+              staged.select(col("doc_id"), col("sh")), pairs, minJaccard,
+              broadcastIds = false).count())
+        }
+        timed(s"verify_unreduced_r$r") {
+          System.err.println(s"PROBE $cores verified_unreduced_n " +
+            Dedup.jaccardVerifyOnShingles(
+              staged.select(col("doc_id"), col("sh")), pairs, minJaccard)
+              .count())
+        }
+      }
+      Dedup.jaccardVerifyOnShinglesReduced(
+          staged.select(col("doc_id"), col("sh")), pairs, minJaccard,
+          broadcastIds = true)
+        .explain("formatted")
 
       timed("cc_clusters") {
         val drops = Dedup.clustersFromPairs(verified)

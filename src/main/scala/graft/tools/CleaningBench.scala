@@ -317,7 +317,21 @@ object CleaningBench {
 
   /** Fresh child JVM per measurement (run-to-run JIT/heap state in a
     * shared JVM dominates the signal otherwise — the ScalingBench
-    * finding, applied verbatim). */
+    * finding, applied verbatim). The child INHERITS the parent's heap,
+    * so both ladder levels run the same `-Xmx` (8 GB).
+    *
+    * Measured NEGATIVE result (2026-08-17, idle calibrations): scaling
+    * the heap per core — the faithful analogy to an N- vs 4N-executor
+    * cluster whose aggregate memory grows with executor count — is
+    * catastrophically wrong on THIS substrate. The identical 2M chain at
+    * 32 cores walled 39.3 s at 8 GB, 65.5 s at 31 GB (compressed oops
+    * still on), 98.6 s at 33 GB, 316.6 s at 48 GB — monotone in heap
+    * size, no full GCs in the GC log, THP off, so the penalty is
+    * host-level (shared virtualized box; a large committed heap is
+    * apparently backed by slower host memory). Equal-heap is therefore
+    * the protocol, with the honest caveat that the hi level gets 4× less
+    * heap per core than a real 4N cluster would — measured efficiency is
+    * a LOWER bound on fair-cluster efficiency. */
   private def runInChildJvm(cores: Int, nDocs: Long,
       stageRoot: Option[String]): (Double, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -396,7 +410,9 @@ object CleaningBench {
          |local[$lo] vs local[$hi], $nDocs planted docs, ScalingBench's
          |paired protocol ($rounds rounds, lo/hi back-to-back per round,
          |fresh child JVM per measurement, one-tenth-corpus warm-up
-         |inside). Parquet staging root: $rootLabel. Survivors identical
+         |inside, equal heap at both levels — see runInChildJvm's
+         |measured negative result on per-core heap). Parquet staging
+         |root: $rootLabel. Survivors identical
          |at both levels ($expect) — partitioning-invariant.
          |
          || metric | local[$lo] | local[$hi] | ratio |

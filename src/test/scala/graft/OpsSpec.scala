@@ -42,6 +42,45 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 14.0 / 15.0) < 1e-12)
   }
 
+  test("reduced jaccard verify ≡ unreduced, both broadcast settings, seeded random corpora") {
+    import spark.implicits._
+    // the semi-join reduction must be a semantic no-op: the verify joins
+    // are INNER on ids drawn from the pair set, so restricting the
+    // shingle table to pair-participating docs changes nothing. Checked
+    // on mutation-heavy random corpora where candidates are plentiful,
+    // with the broadcast hint both on and off.
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val vocab = (0 until 25).map(i => s"v$i")
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      def nextText(): String = {
+        val t =
+          if (texts.nonEmpty && rnd.nextInt(10) < 6) {
+            val base = texts(rnd.nextInt(texts.size))
+            if (rnd.nextBoolean()) base + " " + vocab(rnd.nextInt(vocab.size))
+            else base
+          } else (1 to 8 + rnd.nextInt(12))
+            .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        texts += t
+        t
+      }
+      val d = (0 until 30 + rnd.nextInt(30)).map(i => (i.toLong, nextText()))
+        .toDF("doc_id", "text")
+      val sets = d.select(col("doc_id"),
+        Dedup.hashShingles(Dedup.distinctShingles(col("text"), 3)).as("sh"))
+      val pairs = Dedup.lshCandidatePairs(d, k = 32, bands = 16,
+        shingleN = 3, maxBucket = if (rnd.nextBoolean()) 2 else 64)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val unreduced = rows(Dedup.jaccardVerifyOnShingles(sets, pairs, 0.8))
+      assert(unreduced.nonEmpty, s"seed=$seed generated no verified pairs")
+      assert(rows(Dedup.jaccardVerifyOnShinglesReduced(
+        sets, pairs, 0.8, broadcastIds = true)) == unreduced, s"seed=$seed bcast")
+      assert(rows(Dedup.jaccardVerifyOnShinglesReduced(
+        sets, pairs, 0.8, broadcastIds = false)) == unreduced, s"seed=$seed plain")
+    }
+  }
+
   test("minhash LSH: a degenerate bucket is capped pre-aggregation, pairs bounded") {
     // 10k identical docs = one boilerplate bucket in every band. The
     // bounded-min aggregate must bound what any aggregation buffer (and
