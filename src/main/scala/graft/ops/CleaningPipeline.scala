@@ -137,9 +137,15 @@ object CleaningPipeline {
     // and the CC loop.
     val cand = Dedup.candidatePairsFromBanded(banded, maxBucket)
       .localCheckpoint()
-    val pairs = Dedup.jaccardVerifyOnShinglesReduced(
-      staged.select(col("doc_id"), col("sh")), cand, minJaccard,
-      broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
+    // checkpoint the candidate-population reduction too: the verify plan
+    // reads its shingle side twice (id1/id2), and materializing the
+    // candidate-sized reduced frame turns two heavy staged-column scans
+    // into one
+    val reduced = Dedup.reduceShingleSetsToPairs(
+        staged.select(col("doc_id"), col("sh")), cand,
+        broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
+      .localCheckpoint()
+    val pairs = Dedup.jaccardVerifyOnShingles(reduced, cand, minJaccard)
     val survivors0 =
       r2.join(Dedup.nearDupDropIds(pairs), Seq("doc_id"), "left_anti")
     // the store-append tail has THREE more consumers of the survivor
@@ -398,7 +404,14 @@ object CleaningPipeline {
               Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
             Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
         .withColumn("nsh", size(col("sh")))
-        .write.mode(SaveMode.Overwrite).parquet(stagedDir)
+        // zstd at rest (the round-5 text-encoding study's 100-TB
+        // recommendation, applied to the chain's own hottest artifact):
+        // the staged table is written once and re-read by every later
+        // stage, and those reads are core-invariant storage time — 36%
+        // fewer bytes at rest beats the extra decode CPU on both ladder
+        // levels
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(stagedDir)
       record(0, stagedDir)
     }
     def staged = spark.read.parquet(stagedDir)
@@ -463,13 +476,18 @@ object CleaningPipeline {
         .join(exactDrops, Seq("doc_id"), "left_anti")
       // candidate id pairs checkpointed once: the broadcast gate's count
       // is then free, and neither the verify joins nor the CC loop
-      // re-runs the banding/candidate shuffle
+      // re-runs the banding/candidate shuffle. The candidate-population
+      // reduction is checkpointed too, so the heavy at-rest `sh` column
+      // is scanned ONCE here instead of once per verify join side —
+      // at 20M docs that is ~9.5 GB of core-invariant disk read saved.
       val cand = Dedup.candidatePairsFromBanded(
           Dedup.bandRowsFromSigs(sigs, k, bands), maxBucket)
         .localCheckpoint()
-      val pairs = Dedup.jaccardVerifyOnShinglesReduced(
-        staged.select(col("doc_id"), col("sh")), cand, minJaccard,
-        broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
+      val reduced = Dedup.reduceShingleSetsToPairs(
+          staged.select(col("doc_id"), col("sh")), cand,
+          broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
+        .localCheckpoint()
+      val pairs = Dedup.jaccardVerifyOnShingles(reduced, cand, minJaccard)
       Dedup.nearDupDropIds(pairs)
         .write.mode(SaveMode.Overwrite).parquet(nearDir)
       record(3, nearDir)

@@ -326,14 +326,29 @@ object Dedup {
       pairs: DataFrame,
       minJaccard: Double = 0.8,
       broadcastIds: Boolean = true
+  ): DataFrame =
+    jaccardVerifyOnShingles(
+      reduceShingleSetsToPairs(shingleSets, pairs, broadcastIds), pairs,
+      minJaccard)
+
+  /** The candidate-population reduction itself — the reusable half of
+    * [[jaccardVerifyOnShinglesReduced]], for callers that additionally
+    * CHECKPOINT the reduced frame: the verify plan references its
+    * shingle side twice (id1 and id2), so an un-materialized reduction
+    * scans the heavy at-rest `sh` column once per side, while a
+    * checkpointed one reads it exactly once (the reduced frame is
+    * candidate-sized — bounded by 2·|pairs| rows — so materializing it
+    * is cheap next to the corpus-sized scan it saves). */
+  def reduceShingleSetsToPairs(
+      shingleSets: DataFrame,
+      pairs: DataFrame,
+      broadcastIds: Boolean = true
   ): DataFrame = {
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id")))
       .distinct()
     val hinted = if (broadcastIds) broadcast(ids) else ids
-    jaccardVerifyOnShingles(
-      shingleSets.join(hinted, Seq("doc_id"), "left_semi"), pairs,
-      minJaccard)
+    shingleSets.join(hinted, Seq("doc_id"), "left_semi")
   }
 
   // ---- near-dup clusters (pairs → components → representative) --------

@@ -114,11 +114,34 @@ object CleaningBench {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/docs")
   }
 
-  private def session(cores: Int): SparkSession = {
+  /** Shuffle partitions sized by DATA, floored by parallelism: the
+    * chain's widest shuffle is the banding/candidate exchange
+    * (`bands` × nDocs ≈ 16·nDocs rows, ~25 B each), and a ~100 MB/
+    * reducer target keeps per-task sort runs inside execution memory
+    * at EITHER core count under the fixed 8 GB heap (measured at 20M/
+    * 32 cores: stage 3 234.8 s at 64 partitions → 188.8 s at 128 —
+    * the 32-thread run has 4× less execution memory per task than the
+    * 8-thread run, so under-partitioning punishes exactly the hi
+    * ladder level). Same value at both ladder levels — partition count
+    * is a property of the data, as on a real cluster; AQE coalesces
+    * any excess. GRAFT_SHUFFLE_PARTITIONS overrides for probes. */
+  private def shufflePartitionsFor(cores: Int, nDocs: Long): Int =
+    sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(
+      math.max(math.max(cores * 2, 16),
+        math.min(1024L, nDocs / 160000L).toInt))
+
+  private def session(cores: Int, nDocs: Long): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-cleaning-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores * 2, 16))
+      .config("spark.sql.shuffle.partitions",
+        shufflePartitionsFor(cores, nDocs))
+      // probe knob: shuffle/spill codec (default lz4). zstd moves fewer
+      // bytes through the memory controller per shuffled row — the
+      // binding resource at 32 threads on one socket (see the round-5
+      // text-encoding study) — at more decompression CPU.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -197,7 +220,7 @@ object CleaningBench {
     val groups = nDocs / 20
     val contam = (groups + 499) / 500
     val expect = expectedSurvivors(nDocs)
-    val spark = session(32)
+    val spark = session(32, nDocs)
     try {
       materialize(spark, nDocs)
       val dir = corpusDir(nDocs)
@@ -298,7 +321,7 @@ object CleaningBench {
     * untimed) then the timed chain on the plain scheme. */
   private def singleMain(cores: Int, nDocs: Long,
       stageRoot: Option[String]): Unit = {
-    val spark = session(cores)
+    val spark = session(cores, nDocs)
     try {
       val (_, _, warmStage) = timedChain(spark, nDocs / 10, "", stageRoot)
       deleteRecursively(warmStage)
@@ -365,7 +388,7 @@ object CleaningBench {
       rounds: Int, stageRoot: Option[String]): Unit = {
     require(nDocs % 100000 == 0,
       "ladder nDocs must be a multiple of 100000 (warm-up is nDocs/10)")
-    val gen = session(32)
+    val gen = session(32, nDocs)
     try {
       materialize(gen, nDocs)
       materialize(gen, nDocs / 10)
