@@ -404,14 +404,19 @@ object CleaningPipeline {
               Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
             Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
         .withColumn("nsh", size(col("sh")))
-        // zstd at rest (the round-5 text-encoding study's 100-TB
-        // recommendation, applied to the chain's own hottest artifact):
-        // the staged table is written once and re-read by every later
-        // stage, and those reads are core-invariant storage time — 36%
-        // fewer bytes at rest beats the extra decode CPU on both ladder
-        // levels
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .parquet(stagedDir)
+        // the staged table's codec is DELIBERATELY not pinned: an
+        // un-optioned parquet write follows the session's standard
+        // `spark.sql.parquet.compression.codec` (default snappy), so a
+        // deployment whose staging storage is bandwidth-starved flips to
+        // zstd by conf, no code change. The 20M A/B (BENCH.md round-6
+        // ladders) read: at 8 cores the codecs are indistinguishable
+        // inside the ±25% ambient-disk band; at 32 cores zstd's stage-3
+        // medians ran ~15% ahead (fewer bytes off the slow shared disk,
+        // decode parallelism ample) — suggestive, below conclusive.
+        // Decode-cheap snappy stays the default for a transient
+        // intra-job artifact; the long-lived CORPUS is where the
+        // round-5 zstd-at-rest recommendation applies.
+        .write.mode(SaveMode.Overwrite).parquet(stagedDir)
       record(0, stagedDir)
     }
     def staged = spark.read.parquet(stagedDir)

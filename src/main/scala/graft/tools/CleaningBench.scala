@@ -142,6 +142,16 @@ object CleaningBench {
       // text-encoding study) — at more decompression CPU.
       .config("spark.io.compression.codec",
         sys.env.getOrElse("GRAFT_SHUFFLE_CODEC", "lz4"))
+      // probe knob: the chain's parquet staging codec (the un-optioned
+      // staged write follows this standard conf; default snappy)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_STAGE_CODEC", "snappy"))
+      // probe knob: ObjectHashAggregate's sort-fallback threshold (the
+      // bounded-min candidate cap is a TypedImperativeAggregate; at the
+      // 128-entry default every high-cardinality bucket agg degenerates
+      // to a full sort of the banded rows)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("GRAFT_OBJ_AGG_FALLBACK", "128"))
       .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
