@@ -327,6 +327,32 @@ object CleaningBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Disk calibration beside the CPU one: a 512 MB fsync'd sequential
+    * write at the staging root. The round-6 ladders showed the staging
+    * disk's ambient contention swings stage walls ±25% while the CPU
+    * calibration reads idle — this makes DISK contention visible per
+    * measurement too, so a stretched stage-0/1 sample can be attributed
+    * to the substrate instead of the code under test. (Read-back is not
+    * measured: it would hit the page cache, not the disk.) */
+  private def diskCalibration(stageRoot: Option[String]): Double = {
+    val dir = Paths.get(stageRoot.getOrElse("/tmp"))
+    Files.createDirectories(dir)
+    val f = Files.createTempFile(dir, "graft_diskcal", ".bin")
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        (0 until 512).foreach { _ =>
+          buf.clear(); ch.write(buf)
+        }
+        ch.force(false)
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally Files.deleteIfExists(f)
+  }
+
   /** One measurement in THIS JVM: same-shape warm-up (one-tenth corpus,
     * untimed) then the timed chain on the plain scheme. */
   private def singleMain(cores: Int, nDocs: Long,
@@ -336,6 +362,8 @@ object CleaningBench {
       val (_, _, warmStage) = timedChain(spark, nDocs / 10, "", stageRoot)
       deleteRecursively(warmStage)
       System.err.println(f"CALIB $cores ${cpuCalibration()}%.2f s")
+      System.err.println(
+        f"DISKCAL $cores ${diskCalibration(stageRoot)}%.2f s")
       val (wall, survivors, stage) = timedChain(spark, nDocs, "", stageRoot)
       // per-stage breakdown for variance diagnosis (stderr — the parent
       // parses only the SINGLE line on stdout)
@@ -383,7 +411,8 @@ object CleaningBench {
     val rc = p.waitFor()
     // relay the child's per-stage breakdown + CPU calibration for
     // variance diagnosis
-    out.filter(l => l.startsWith("STAGES ") || l.startsWith("CALIB "))
+    out.filter(l => l.startsWith("STAGES ") || l.startsWith("CALIB ") ||
+        l.startsWith("DISKCAL "))
       .foreach(println)
     val line = out.find(_.startsWith("SINGLE ")).getOrElse(
       sys.error(s"child JVM failed (rc=$rc):\n" +
