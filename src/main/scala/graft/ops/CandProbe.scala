@@ -76,11 +76,9 @@ object CandProbe {
           System.err.println(s"CANDPROBE $cores pairs_A " +
             graft.ops.Dedup.candidatePairsFromBanded(banded, maxBucket).count())
         }
-        if (mode == "all" || mode == "window") timed(s"W_windowcap_r$r") {
-          System.err.println(s"CANDPROBE $cores pairs_W " +
-            graft.ops.Dedup.candidatePairsFromBandedWindow(banded, maxBucket)
-              .count())
-        }
+        // (the "window" variant was retired with the window twin —
+        // round-6 measurement recorded in BENCH.md; twin now lives in
+        // BoundedCapSpec only)
         if (mode == "all") timed(s"B_twophase_r$r") {
           val collide = banded.groupBy(col("band"), col("bh"))
             .agg(count(lit(1)).as("_n"))

@@ -195,13 +195,13 @@ object Dedup {
     * partition's contribution to a bucket at `maxBucket` rows, so a
     * degenerate bucket (10^8 copies of a boilerplate page) costs the
     * shuffle at most partitions×maxBucket rows and no reducer hotspot.
-    * The row-2..5 `row_number`-window form it replaces
-    * ([[candidatePairsFromBandedWindow]], kept as the differential
-    * test twin) bounded aggregation MEMORY but still shipped every
-    * member of a degenerate bucket to one reducer before dropping any —
-    * a skew hotspot at web scale — and paid a non-codegen WindowExec
-    * pass over bands×N rows. Output parity is spec-asserted including
-    * duplicate ids and biting caps. */
+    * The row_number-window form it replaced bounded aggregation MEMORY
+    * but still shipped every member of a degenerate bucket to one
+    * reducer before dropping any — a skew hotspot at web scale — and
+    * paid a non-codegen WindowExec pass over bands×N rows. That twin
+    * now lives ONLY in BoundedCapSpec (differential reference), so no
+    * production call site can pick the hotspot form. Output parity is
+    * spec-asserted including duplicate ids and biting caps. */
   private[ops] def candidatePairsFromBanded(
       banded: DataFrame,
       maxBucket: Int
@@ -213,26 +213,11 @@ object Dedup {
     pairsFromBuckets(buckets)
   }
 
-  /** The pre-round-6 window-cap form of [[candidatePairsFromBanded]] —
-    * identical semantics (cap to the `maxBucket` smallest doc_ids,
-    * duplicates preserved), kept ONLY as the differential twin for the
-    * bounded-min aggregate's parity spec. */
-  private[ops] def candidatePairsFromBandedWindow(
-      banded: DataFrame,
-      maxBucket: Int
-  ): DataFrame = {
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-    val capped = banded
-      .withColumn("_rn", row_number().over(capW))
-      .where(col("_rn") <= maxBucket)
-      .drop("_rn")
-    val buckets = capped
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) >= 2)
+  /** Pairs from capped buckets — exposed to BoundedCapSpec so the
+    * retired window-cap twin (which now lives in the spec) shares the
+    * exact pair-emission logic with the production aggregate path. */
+  private[ops] def pairsFromCappedBuckets(buckets: DataFrame): DataFrame =
     pairsFromBuckets(buckets)
-  }
 
   /** `k` smallest values of a long column per group, ascending —
     * [[graft.functions.BoundedMinLongs]] as a Column. */
@@ -449,17 +434,39 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal on any of `blocks` signature blocks
     * (standard Charikar blocking — tolerates `blocks-1` differing bits per
-    * the pigeonhole principle). */
-  def simhashCandidates(docs: DataFrame, blocks: Int = 4): DataFrame =
+    * the pigeonhole principle). `maxBucket` caps block-key bucket
+    * membership — see [[simhashCandidatesFromSigs]]. */
+  def simhashCandidates(docs: DataFrame, blocks: Int = 4,
+      maxBucket: Int = 64): DataFrame =
     simhashCandidatesFromSigs(
-      docs.select(col("doc_id"), simhash64(col("text")).as("sig")), blocks)
+      docs.select(col("doc_id"), simhash64(col("text")).as("sig")), blocks,
+      maxBucket)
 
   /** [[simhashCandidates]] over PRE-COMPUTED `(doc_id, sig)` signatures —
     * the blocking + Hamming half is pure relational algebra, so a staged
     * signature table lets an external engine (the DuckDB oracle) verify
     * it exactly: block keys are arithmetic-shift-plus-mask, the distance
-    * is `bit_count(xor(sig1, sig2))`. */
-  def simhashCandidatesFromSigs(sigs: DataFrame, blocks: Int = 4): DataFrame = {
+    * is `bit_count(xor(sig1, sig2))`. `doc_id` must be unique per row.
+    *
+    * Bucket members are capped to the `maxBucket` SMALLEST doc_ids per
+    * (block, key) — the same [[graft.functions.BoundedMinLongs]] cap as
+    * the MinHash path ([[candidatePairsFromBanded]]) and for the same
+    * reason: an uncapped block-key self-join is quadratic on a degenerate
+    * bucket, and with 16-bit block keys (`blocks = 4`) large buckets are
+    * EXPECTED at crawl scale — 25B docs over 65k keys puts ~380k docs in
+    * the *average* bucket even before boilerplate skew, so a huge bucket
+    * is corpus structure, not near-duplication. The map-side combine
+    * bounds every partition's contribution at `maxBucket` rows, so the
+    * bucketing shuffle carries id-only rows (the signature is dropped
+    * before the exchange) and no reducer hotspot exists. Below the cap
+    * the output equals the uncapped self-join exactly (spec-asserted).
+    *
+    * The Hamming distances are attached after capping by joining the
+    * candidate pairs back to `sigs` twice — id-keyed joins whose probe
+    * side is candidate-bounded and whose build side is the 16-byte-row
+    * `(doc_id, sig)` table, never the exploded block rows. */
+  def simhashCandidatesFromSigs(sigs: DataFrame, blocks: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
     val width = 64 / blocks
     val blockStructs = (0 until blocks).map { b =>
       struct(lit(b).as("block"),
@@ -467,18 +474,20 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1)).as("key"))
     }
     val exploded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(array(blockStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.block").as("block"),
+      .select(col("doc_id"), col("bk.block").as("block"),
         col("bk.key").as("key"))
-    val a = exploded.select(col("block"), col("key"),
-      col("doc_id").as("id1"), col("sig").as("sig1"))
-    val b = exploded.select(col("block"), col("key"),
-      col("doc_id").as("id2"), col("sig").as("sig2"))
-    a.join(b, Seq("block", "key"))
-      .where(col("id1") < col("id2"))
+    val buckets = exploded
+      .groupBy(col("block"), col("key"))
+      .agg(boundedMinIds(col("doc_id"), maxBucket).as("ids"))
+      .where(size(col("ids")) >= 2)
+    pairsFromBuckets(buckets)
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")),
+        Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")),
+        Seq("id2"))
       .select(col("id1"), col("id2"),
         hamming64(col("sig1"), col("sig2")).as("hamming"))
-      .distinct()
   }
 }

@@ -83,18 +83,10 @@ object Stage3Probe {
           .localCheckpoint(eager = false)
         System.err.println(s"PROBE $cores banded_arrayhash_n ${b.count()}")
       }
-      // paired A/B: bounded-min aggregate vs row_number-window cap,
-      // interleaved in THIS JVM over the same checkpointed banded input
-      // (ambient host contention swings absolute walls 2×; pairing
-      // seconds apart isolates the implementation delta)
-      (1 to 3).foreach { r =>
-        timed(s"candidates_AGG_r$r") {
-          Dedup.candidatePairsFromBanded(bandedCk, maxBucket).count()
-        }
-        timed(s"candidates_WINDOW_r$r") {
-          Dedup.candidatePairsFromBandedWindow(bandedCk, maxBucket).count()
-        }
-      }
+      // (the round-6 paired A/B of the bounded-min aggregate vs the
+      // row_number-window cap is CLOSED — measured and recorded in
+      // BENCH.md; the window twin was retired to BoundedCapSpec in
+      // round 7, so the probe no longer carries the comparator)
       val pairs = timed("candidates_from_banded") {
         val p = Dedup.candidatePairsFromBanded(bandedCk, maxBucket)
           .localCheckpoint(eager = false)

@@ -309,23 +309,11 @@ object CleaningBench {
     * each measurement makes contended windows VISIBLE in the record
     * instead of silently biasing the scaling ratio (a neighbor stealing
     * cores barely touches a local[8] run with 24 idle vCPUs of slack but
-    * directly slows local[32] — ambient theft biases efficiency DOWN). */
-  private def cpuCalibration(): Double = {
-    val t0 = System.nanoTime()
-    val threads = (0 until 32).map { t =>
-      new Thread(() => {
-        var z = 0x9E3779B97F4A7C15L * (t + 1)
-        var i = 0L
-        while (i < 400000000L) {
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          i += 1
-        }
-        if (z == 42L) println(z) // defeat dead-code elimination
-      })
-    }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
-  }
+    * directly slows local[32] — ambient theft biases efficiency DOWN).
+    * Shared with graft.Bench via [[HostCalibration.cpuCalibrationWall]]
+    * (round-6 verdict #2) so the scalar is artifact-comparable. */
+  private def cpuCalibration(): Double =
+    HostCalibration.cpuCalibrationWall()
 
   /** Disk calibration beside the CPU one: a 512 MB fsync'd sequential
     * write at the staging root. The round-6 ladders showed the staging
@@ -333,25 +321,10 @@ object CleaningBench {
     * calibration reads idle — this makes DISK contention visible per
     * measurement too, so a stretched stage-0/1 sample can be attributed
     * to the substrate instead of the code under test. (Read-back is not
-    * measured: it would hit the page cache, not the disk.) */
-  private def diskCalibration(stageRoot: Option[String]): Double = {
-    val dir = Paths.get(stageRoot.getOrElse("/tmp"))
-    Files.createDirectories(dir)
-    val f = Files.createTempFile(dir, "graft_diskcal", ".bin")
-    try {
-      val buf = java.nio.ByteBuffer.allocate(1 << 20)
-      val t0 = System.nanoTime()
-      val ch = java.nio.channels.FileChannel.open(f,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        (0 until 512).foreach { _ =>
-          buf.clear(); ch.write(buf)
-        }
-        ch.force(false)
-      } finally ch.close()
-      (System.nanoTime() - t0) / 1e9
-    } finally Files.deleteIfExists(f)
-  }
+    * measured: it would hit the page cache, not the disk.) Shared with
+    * graft.Bench via [[HostCalibration.diskCalibrationWall]]. */
+  private def diskCalibration(stageRoot: Option[String]): Double =
+    HostCalibration.diskCalibrationWall(stageRoot.getOrElse("/tmp"))
 
   /** One measurement in THIS JVM: same-shape warm-up (one-tenth corpus,
     * untimed) then the timed chain on the plain scheme. */

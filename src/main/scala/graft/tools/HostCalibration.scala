@@ -16,6 +16,54 @@ import org.apache.spark.sql.functions._
   */
 object HostCalibration {
 
+  /** Saturating CPU calibration: 32 threads × fixed splitmix work — the
+    * per-measurement host-state scalar of the round-6 ladder protocol
+    * (~0.8–1.0 s on this box when idle per BENCH.md; ambient neighbor
+    * load inflates it). Shared by CleaningBench's per-measurement
+    * calibration and graft.Bench's bench_out.json `calib` record so the
+    * scalar is comparable across every artifact. */
+  def cpuCalibrationWall(): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      new Thread(() => {
+        var z = 0x9E3779B97F4A7C15L * (t + 1)
+        var i = 0L
+        while (i < 400000000L) {
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          i += 1
+        }
+        if (z == 42L) println(z) // defeat dead-code elimination
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Disk calibration beside the CPU one: a 512 MB fsync'd sequential
+    * write under `dirPath` (~0.9–1.1 s idle per BENCH.md). The round-6
+    * ladders showed the staging disk's ambient contention swings stage
+    * walls ±25% while the CPU calibration reads idle — this makes DISK
+    * contention visible per measurement. (Read-back is deliberately not
+    * measured: it would hit the page cache, not the disk.) */
+  def diskCalibrationWall(dirPath: String): Double = {
+    val dir = java.nio.file.Paths.get(dirPath)
+    java.nio.file.Files.createDirectories(dir)
+    val f = java.nio.file.Files.createTempFile(dir, "graft_diskcal", ".bin")
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        (0 until 512).foreach { _ =>
+          buf.clear(); ch.write(buf)
+        }
+        ch.force(false)
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   private def alu(iters: Long): Long = {
     var x = 0L
     var i = 0L
