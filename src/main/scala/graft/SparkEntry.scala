@@ -68,6 +68,16 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$StageDir/kg_mentions")
       GraphMaterialize.agencyDim(s)
         .write.mode("overwrite").parquet(s"$StageDir/agency_dim")
+      // kg01's relational oracle (round-6 verdict #3): the article text
+      // and the raw gazetteer map beside the mentions, so DuckDB can
+      // recompute surface/name/qid/id and the bounds/uniqueness
+      // invariants from first principles
+      kgArticles(s).toDF().select("url", "text", "lang")
+        .write.mode("overwrite").parquet(s"$StageDir/kg_articles")
+      import s.implicits._
+      graft.core.Gazetteer.WikidataIdsLower.toSeq
+        .toDF("label_lower", "qid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$StageDir/gazetteer")
       staged = true
     }
     s.read.parquet(s"$StageDir/kg_mentions")
@@ -394,9 +404,24 @@ object SparkEntry {
             .as("avg_bal"))
     }),
 
-    // ---- KG pipeline (rows-only: NER semantics are not SQL-expressible;
-    //      correctness is the P/R≥0.95 gate in the ScalaTest suite) ----
-    "kg01_mentions" -> ((s, _) => kgMentions(s).toDF()),
+    // ---- KG pipeline ----
+    // The trie NER DETECTION itself is not SQL-expressible (its
+    // correctness is the P/R≥0.95 gate + golden parity in the ScalaTest
+    // suite), but the detected mentions' RELATIONAL half is (round-6
+    // verdict #3): with the mention table, the article text, and the
+    // gazetteer staged to parquet, DuckDB independently recomputes
+    // surface = substr(text, lOffset+1, rOffset-lOffset), name = last
+    // dot segment of the entity label, qid = gazetteer rule over that
+    // segment, id = the <url>:<l>:<r>:newsag:bert_<lang> grammar with
+    // lang drawn from the ARTICLE row, enforces offsets within text
+    // bounds, and keeps one row per (url, lOffset, rOffset) span — so a
+    // wrong offset, a surface/text disagreement, a mislinked qid, or a
+    // duplicate span all flip the row red. Only entity (the trie's
+    // label choice) rides through pinned.
+    "kg01_mentions" -> ((s, _) =>
+      stagedMentions(s).select(col("url"), col("entity"), col("surface"),
+        col("name"), col("qid"), col("lOffset"), col("rOffset"),
+        col("lang"), col("id"))),
     // triples materialization — oracle-checked on the staged NER output
     // (explode-to-two-triples + distinct is plain SQL once the mention
     // table is pinned to parquet)
@@ -807,12 +832,13 @@ object SparkEntry {
 
   /** DuckDB-runnable ANSI oracles, column-name and value aligned with the
     * Spark results above. The remaining oracle-less queries (rows-only
-    * check) are the genuinely non-SQL set: kg01 (trie NER) and kg12-kg14
-    * (HIPE/NEL scorer reports — differentially validated against the
-    * reference's own scorer in HipeParitySpec). The ANN family
-    * (kg08/kg09/kg11) and kg07 (SimHash) stage their candidate sets /
-    * signature bits to parquet, so the SQL-expressible
-    * ranking/blocking/verification half IS oracle-checked. */
+    * check) are the genuinely non-SQL set: kg12-kg14 (HIPE/NEL scorer
+    * reports — differentially validated against the reference's own
+    * scorer in HipeParitySpec). The ANN family (kg08/kg09/kg11), kg07
+    * (SimHash), and kg01 (trie NER) stage their candidate sets /
+    * signature bits / mention+text+gazetteer tables to parquet, so the
+    * SQL-expressible ranking/blocking/verification/relational half IS
+    * oracle-checked. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1116,6 +1142,42 @@ object SparkEntry {
     // `am` rederives the analytic columns (newspaper/year/decade/agency
     // from the mention url/entity — import_data.ipynb cell 7) so the
     // oracle is independent of the Spark derivation too.
+    //
+    // kg01: the mention table's relational half recomputed from first
+    // principles (round-6 verdict #3) — surface from the staged ARTICLE
+    // text at the mention's own offsets, name/qid from the staged raw
+    // gazetteer via the cli_tagger lookup rule, id from the offset
+    // grammar with lang drawn from the article row, offsets bounds-
+    // checked against the text, one row per (url, lOffset, rOffset)
+    // span enforced via QUALIFY. Only `entity` (the trie's label
+    // choice, non-SQL) is read from the staged mention row itself.
+    "kg01_mentions" ->
+      s"""WITH m AS (
+           SELECT url, entity, lOffset, rOffset
+           FROM read_parquet('$StageDir/kg_mentions/*.parquet')
+           QUALIFY row_number() OVER
+             (PARTITION BY url, lOffset, rOffset ORDER BY entity) = 1),
+         a AS (
+           SELECT url, text, lang
+           FROM read_parquet('$StageDir/kg_articles/*.parquet')),
+         g AS (
+           SELECT label_lower, qid
+           FROM read_parquet('$StageDir/gazetteer/*.parquet'))
+         SELECT m.url, m.entity,
+           substr(a.text, m.lOffset + 1, m.rOffset - m.lOffset) AS surface,
+           string_split(m.entity, '.')[-1] AS name,
+           CASE WHEN string_split(m.entity, '.')[-1]
+                     IN ('articleauthor', 'unk') THEN 'NIL'
+                ELSE coalesce(g.qid, 'NIL') END AS qid,
+           m.lOffset, m.rOffset, a.lang,
+           m.url || ':' || m.lOffset || ':' || m.rOffset
+             || ':newsag:bert_' || a.lang AS id
+         FROM m
+         JOIN a ON m.url = a.url
+         LEFT JOIN g
+           ON g.label_lower = lower(string_split(m.entity, '.')[-1])
+         WHERE m.lOffset >= 0 AND m.rOffset > m.lOffset
+           AND m.rOffset <= length(a.text)""",
     "kg02_triples" ->
       s"""WITH m AS (
            SELECT url, qid, surface
