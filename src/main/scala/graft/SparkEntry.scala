@@ -690,15 +690,22 @@ object SparkEntry {
       // the PARQUET-STAGED resumable path (the 100-TB operational shape:
       // one text pass at rest + per-stage manifest) — a fresh stage dir
       // per invocation so a timed re-run does the full chain, not a
-      // resume of completed stages; shutdown-hook-cleaned so repeated
-      // bench passes don't accumulate staged dirs
+      // resume of completed stages. The tiny per-lang aggregate is
+      // materialized EAGERLY (localCheckpoint cuts the lineage to the
+      // staged parquet) so the corpus-scale stage dir is deleted right
+      // here instead of accumulating one per invocation until JVM
+      // shutdown (ADVICE r6); the TempDirs shutdown hook stays as the
+      // crash backstop.
       val stage = graft.tools.TempDirs.scoped("graft_kg19_stage")
-      graft.ops.CleaningPipeline.cleanedMetaResumable(
+      val out = graft.ops.CleaningPipeline.cleanedMetaResumable(
         docs.unionByName(copies).unionByName(mutants),
         benchExcerpts(s, dir), stage, keepCols = Seq("lang"),
         k = 32, bands = 16, shingleN = 3, maxBucket = 1024,
         minJaccard = 0.8, minOverlap = 5)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint()
+      graft.tools.TempDirs.deleteRecursively(stage)
+      out
     }),
     // the near-dup dedup TRANSFORM (kg15 materializes the clusters; this
     // oracle-covers the keep-representative anti-join path itself):

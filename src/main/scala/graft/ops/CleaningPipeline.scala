@@ -309,7 +309,8 @@ object CleaningPipeline {
       val stored = new String(Files.readAllBytes(p), "UTF-8")
       val lines = stored.split("\n", -1).toSeq
       val storedCore = lines
-        .filterNot(l => l.startsWith("keepCols=") || l.isEmpty)
+        .filterNot(l => l.startsWith("keepCols=") ||
+          l.startsWith("shRepr=") || l.isEmpty)
         .mkString("\n")
       val storedKeep = lines.find(_.startsWith("keepCols="))
         .map(_.stripPrefix("keepCols=")).getOrElse("")
@@ -319,17 +320,25 @@ object CleaningPipeline {
           s"artifacts were computed under:\n$storedCore\nbut this run " +
           s"asks for:\n$core\nUse a new stageDir (or the original " +
           "parameters).")
-      require(keepCols.forall(storedKeep.contains),
-        s"resume into $stageDir asks for keep columns " +
-          s"${keepCols.mkString(",")} but the staged table carries only " +
-          s"[${storedKeep.mkString(",")}] — a subset is fine, new " +
-          "columns need a new stageDir")
+      // the staged shingle sets' at-rest representation must match what
+      // THIS engine computes (ADVICE r6): were the hash function/seed
+      // ever to change, a resumed dir's overlap joins would silently
+      // match nothing. Absent on legacy dirs — there the element-type
+      // schema fallback (`shForStore`) is the only guard available.
+      lines.find(_.startsWith("shRepr=")).map(_.stripPrefix("shRepr="))
+        .foreach(storedRepr =>
+          require(storedRepr == SignatureStore.ShRepr,
+            s"resume into $stageDir staged shingle sets under " +
+              s"representation '$storedRepr' but this engine computes " +
+              s"'${SignatureStore.ShRepr}' — overlap joins across " +
+              "representations match nothing; use a new stageDir"))
       storedKeep
     } else {
       Files.createDirectories(p.getParent)
       val tmp = Paths.get(s"$stageDir/._params.tmp")
       Files.write(tmp,
-        s"$core\nkeepCols=${keepCols.mkString(",")}\n".getBytes("UTF-8"))
+        (s"$core\nshRepr=${SignatureStore.ShRepr}\n" +
+          s"keepCols=${keepCols.mkString(",")}\n").getBytes("UTF-8"))
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
       keepCols
     }
@@ -354,13 +363,24 @@ object CleaningPipeline {
       upTo: Int
   ): Option[DataFrame] = {
     val spark = docs.sparkSession
+    // parameter validation FIRST (ADVICE r6): `core` pins storePath, so a
+    // resume mistakenly pointed at a DIFFERENT store refuses here —
+    // before the recover() below could replay that store's pending
+    // journal (which may belong to another in-flight writer's commit)
+    val stagedKeep = checkOrWriteParams(stageDir,
+      s"k=$k\nbands=$bands\nshingleN=$shingleN\nmaxBucket=$maxBucket\n" +
+        s"minJaccard=$minJaccard\nminOverlap=$minOverlap\n" +
+        s"minRatio=$minRatio\n" +
+        s"storePath=${storePath.getOrElse("")}",
+      keepCols)
     storePath.foreach { p =>
       // a prior attempt that crashed INSIDE the store's commit window
       // leaves the journal present and the metadata deleted — the plain
       // readMeta below would refuse loudly and the recover() inside
       // stage 4 would never be reached. The attempt marker proves the
-      // interrupted commit is OURS (single-writer contract), so replay
-      // it before reading the metadata.
+      // interrupted commit is OURS (single-writer contract, and the
+      // params check above proved this resume targets the same store),
+      // so replay it before reading the metadata.
       if (Files.exists(Paths.get(s"$stageDir/stage4_store_attempt")))
         SignatureStore.recover(spark, p)
       val m = SignatureStore.readMeta(spark, p)
@@ -370,12 +390,6 @@ object CleaningPipeline {
           " — appending differently-banded signatures would silently miss" +
           " every future near-duplicate")
     }
-    val stagedKeep = checkOrWriteParams(stageDir,
-      s"k=$k\nbands=$bands\nshingleN=$shingleN\nmaxBucket=$maxBucket\n" +
-        s"minJaccard=$minJaccard\nminOverlap=$minOverlap\n" +
-        s"minRatio=$minRatio\n" +
-        s"storePath=${storePath.getOrElse("")}",
-      keepCols)
 
     val stagedDir = s"$stageDir/staged"
     val flaggedDir = s"$stageDir/stage1_flagged"
@@ -513,26 +527,48 @@ object CleaningPipeline {
       if (!Files.exists(done)) {
         t0 = System.nanoTime()
         val attempted = Files.exists(attempt)
-        if (!attempted) Files.createFile(attempt)
+        // the attempt marker carries this run's commit tag, so a resumed
+        // attempt asks the STORE whether this exact append committed —
+        // a POSITIVE record (ADVICE r6) instead of the old watermark
+        // inference, which wrongly skipped the append when the watermark
+        // already covered the batch ids for another reason (an
+        // allowStoreReplay re-run, or a store advanced by a later batch)
+        // after a crash BEFORE the commit.
+        val tag =
+          if (attempted)
+            new String(Files.readAllBytes(attempt), "UTF-8").trim
+          else {
+            val t = java.util.UUID.randomUUID().toString
+            Files.write(attempt, t.getBytes("UTF-8"))
+            t
+          }
         // finish any journaled commit a crashed attempt left behind —
         // after this the store is consistent: the prior append either
-        // fully committed or never touched the live store
+        // fully committed (metadata then carries its tag) or never
+        // touched the live store
         SignatureStore.recover(spark, sp)
         val surv = survivorIds(Seq("doc_id", "sh", "sig"))
-        val mxRow = surv.agg(max(col("doc_id").cast("long"))).head()
-        // a prior attempt that reached commit advanced the watermark to
-        // ≥ max(survivor ids) — skip the re-append. (With ids at or
-        // below the watermark and no prior attempt, appendSignatures
-        // itself arbitrates via the monotone/replay gate as usual.)
-        val alreadyIn = attempted && !mxRow.isNullAt(0) &&
-          SignatureStore.readMeta(spark, sp).maxDocId >= mxRow.getLong(0)
+        val alreadyIn =
+          if (attempted && tag.nonEmpty)
+            SignatureStore.readMeta(spark, sp).lastCommitTag == tag
+          else if (attempted) {
+            // legacy attempt marker without a tag: the old watermark
+            // inference, but REFUSED under allowStoreReplay where it is
+            // exactly ambiguous (a redundant replayed append is
+            // at-least-once-safe; a wrongly skipped one silently loses
+            // the batch's signatures)
+            val mxRow = surv.agg(max(col("doc_id").cast("long"))).head()
+            !allowStoreReplay && !mxRow.isNullAt(0) &&
+              SignatureStore.readMeta(spark, sp).maxDocId >= mxRow.getLong(0)
+          } else false
         if (!alreadyIn) {
           SignatureStore.appendSignatures(spark, sp,
             Dedup.bandRowsFromSigs(
               surv.where(size(col("sh")) > 0)
                 .select(col("doc_id"), col("sig")), k, bands),
             surv.select(col("doc_id"), shForStore),
-            allowReplay = allowStoreReplay || attempted)
+            allowReplay = allowStoreReplay || attempted,
+            commitTag = Some(tag))
         }
         Files.createFile(done)
         import spark.implicits._

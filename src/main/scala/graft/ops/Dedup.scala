@@ -150,12 +150,18 @@ object Dedup {
     * `array<long>` (XxHash64 inside a codegen'd `transform` HOF) — the
     * AT-REST representation of shingle sets (the cleaning chain's staged
     * frame, [[SignatureStore]]'s shingle table). Distinct strings map to
-    * distinct hashes with overwhelming probability (a within-document
-    * cardinality change needs two of a doc's distinct shingles to share
-    * a 64-bit hash: P ≈ |sh|²·2⁻⁶⁵ < 1e-15 even at 100k shingles — the
-    * same class of bound as the documented LSH miss probabilities), so
-    * set sizes, intersections, and unions — Jaccard, containment
-    * overlaps — computed over hashed sets equal those over the raw sets,
+    * distinct hashes with overwhelming probability. Two bounds matter:
+    * WITHIN one document, a cardinality change needs two of a doc's
+    * distinct shingles to share a 64-bit hash (P ≈ |sh|²·2⁻⁶⁵ < 1e-15
+    * even at 100k shingles); ACROSS a document pair — the quantity the
+    * verify step actually computes — an intersection/union is inflated
+    * only if some shingle of A and some DIFFERENT shingle of B collide,
+    * bounded by P ≈ (|A|+|B|)²·2⁻⁶⁵, the same 1e-15 class (ADVICE r6:
+    * the pairwise bound is the one Jaccard/containment exactness rests
+    * on). Both are the class of bound as the documented LSH miss
+    * probabilities, so set sizes, intersections, and unions — Jaccard,
+    * containment overlaps — computed over hashed sets equal those over
+    * the raw sets,
     * while at-rest bytes drop ~2.5× (8-byte longs vs ~20-byte UTF-8
     * 3-gram strings) and every downstream `array_intersect` compares
     * longs instead of strings. Direct (unstaged) verify paths keep raw

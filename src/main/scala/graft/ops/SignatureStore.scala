@@ -203,11 +203,20 @@ object SignatureStore {
     * loudly — re-ingest with [[write]]. */
   val ShRepr: String = "xxhash64"
 
+  /** `commitTag`: an opaque caller-chosen id of the LAST committed
+    * append, persisted so a resumable caller (the cleaning chain's
+    * stage 4) can decide "did MY append commit?" POSITIVELY from the
+    * store itself instead of inferring it from the watermark — an
+    * inference that goes wrong when the watermark already covers the
+    * batch ids for another reason (allowReplay re-runs, a later batch).
+    * Empty for untagged commits; compaction preserves the current tag
+    * (it rewrites tables, not append history). */
   private def metaJson(nPrefixes: Int, k: Int, bands: Int,
-      shingleN: Int, maxDocId: Long): String =
+      shingleN: Int, maxDocId: Long, commitTag: String = ""): String =
     s"""{"nPrefixes":$nPrefixes,"k":$k,"bands":$bands,""" +
       s""""shingleN":$shingleN,"sigVersion":$SigVersion,""" +
-      s""""shRepr":"$ShRepr","maxDocId":$maxDocId}"""
+      s""""shRepr":"$ShRepr","maxDocId":$maxDocId,""" +
+      s""""lastCommitTag":"$commitTag"}"""
 
   /** Incremental probe: verified near-dup pairs `(id1, id2, jaccard)`
     * between `batch(doc_id, text)` and the store, PLUS pairs within the
@@ -392,12 +401,17 @@ object SignatureStore {
     * max id here, so a crash-replay of that batch — whose max may exceed
     * the max surviving id — still falls entirely at or below the
     * watermark and is recognized as a replay rather than refused. */
+  /** `commitTag`: optional caller-chosen id persisted into the store
+    * metadata WITH the commit (see [[metaJson]]) — readable back via
+    * `readMeta(...).lastCommitTag` as positive proof that this specific
+    * append's commit completed. */
   def appendSignatures(spark: SparkSession, path: String,
       banded: DataFrame, shingleSets: DataFrame,
       allowReplay: Boolean = false,
-      advanceWatermarkTo: Option[Long] = None): Unit = {
+      advanceWatermarkTo: Option[Long] = None,
+      commitTag: Option[String] = None): Unit = {
     if (stageAppend(spark, path, banded, shingleSets, allowReplay,
-        advanceWatermarkTo))
+        advanceWatermarkTo, commitTag))
       commitStaged(spark, path)
   }
 
@@ -408,7 +422,8 @@ object SignatureStore {
   private[graft] def stageAppend(spark: SparkSession, path: String,
       banded: DataFrame, shingleSets: DataFrame,
       allowReplay: Boolean = false,
-      advanceWatermarkTo: Option[Long] = None): Boolean = {
+      advanceWatermarkTo: Option[Long] = None,
+      commitTag: Option[String] = None): Boolean = {
     val m = readMeta(spark, path)
     // the store persists HASHED shingle sets (ShRepr) — a raw-string
     // append would never intersect hashed probe sets; refuse at the door
@@ -453,7 +468,8 @@ object SignatureStore {
       .write.mode("overwrite").partitionBy("doc_pfx")
       .parquet(s"$staging/shingles")
     val newMeta = metaJson(m.nPrefixes, m.k, m.bands, m.shingleN,
-      math.max(m.maxDocId, math.max(mx, advanceWatermarkTo.getOrElse(mx))))
+      math.max(m.maxDocId, math.max(mx, advanceWatermarkTo.getOrElse(mx))),
+      commitTag.getOrElse(""))
     writeJournal(spark, path, journalJson("append", token, newMeta))
     true
   }
@@ -604,7 +620,8 @@ object SignatureStore {
         .write.mode("overwrite").partitionBy("doc_pfx")
         .parquet(s"$staging/shingles")
       writeJournal(spark, path, journalJson("replace", token,
-        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
+        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId,
+          m.lastCommitTag)))
       true
     } else {
       // partitions over the file-count bound, from one driver-side
@@ -646,7 +663,8 @@ object SignatureStore {
           .write.mode("overwrite").partitionBy("doc_pfx")
           .parquet(s"$staging/shingles")
       writeJournal(spark, path, journalJson("replace_parts", token,
-        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId)))
+        metaJson(m.nPrefixes, m.k, m.bands, m.shingleN, m.maxDocId,
+          m.lastCommitTag)))
       true
     }
   }
@@ -684,7 +702,7 @@ object SignatureStore {
   }
 
   private[ops] final case class Meta(nPrefixes: Int, k: Int, bands: Int,
-      shingleN: Int, maxDocId: Long)
+      shingleN: Int, maxDocId: Long, lastCommitTag: String = "")
 
   private final case class Journal(op: String, token: String, meta: String)
 
@@ -815,7 +833,12 @@ object SignatureStore {
     val maxDocId =
       (""""maxDocId"\s*:\s*(-?\d+)""").r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(Long.MinValue)
+    // optional (absent on stores written before tagged commits existed,
+    // and empty after any untagged commit)
+    val lastCommitTag =
+      (""""lastCommitTag"\s*:\s*"([^"]*)"""").r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
     Meta(field("nPrefixes"), field("k"), field("bands"), field("shingleN"),
-      maxDocId)
+      maxDocId, lastCommitTag)
   }
 }

@@ -6,10 +6,12 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 /** Temp staging directories that must not outlive the JVM: each query
   * invocation of the resumable cleaning chain stages to a fresh dir (so
-  * a timed re-run does the full work, not a resume), and without
-  * cleanup a long benchmarking session accumulates one corpus-scale
-  * staged dir per invocation. `scoped` registers one JVM shutdown hook
-  * that deletes everything handed out. */
+  * a timed re-run does the full work, not a resume). `scoped` registers
+  * one JVM shutdown hook that deletes everything handed out — a CRASH
+  * BACKSTOP, not the primary cleanup: within one long-lived session the
+  * hook never fires, so callers delete their dir themselves as soon as
+  * its contents are no longer referenced (kg19 does, after eagerly
+  * materializing its final aggregate — ADVICE r6). */
 object TempDirs {
 
   private val dirs = new ConcurrentLinkedQueue[Path]()

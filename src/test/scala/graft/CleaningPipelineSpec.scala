@@ -259,6 +259,54 @@ class CleaningPipelineSpec extends AnyFunSuite {
     assert(fullRows.forall(_.getAs[String]("text").nonEmpty))
   }
 
+  test("stage 4 resume: pre-commit crash re-appends even when the watermark already covers the batch (positive commit record)") {
+    import spark.implicits._
+    // the ADVICE-r6 scenario the old watermark inference got wrong: the
+    // append attempt crashed BEFORE its journal (nothing committed), and
+    // by resume time the store's watermark covers the batch ids anyway —
+    // here advanced by a later batch. Inference from the watermark would
+    // silently skip the append and lose the batch's signatures; the
+    // commit tag in the attempt marker makes "did MY append commit?"
+    // answerable from the store metadata itself.
+    val bench = Seq((900L, (1 to 12).map(i => s"b$i").mkString(" ")))
+      .toDF("bench_id", "text")
+    val docs = Seq((1L, words("a")), (2L, words("c")))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_tag_store").toString
+    SignatureStore.init(spark, store, nPrefixes = 8, k = 32, bands = 16,
+      shingleN = 3)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_tag_stage").toString
+    CleaningPipeline.runStages(docs, bench, stage, Nil, k = 32,
+      bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, minRatio = 0.0, broadcastBench = true,
+      storePath = Some(store), allowStoreReplay = false, upTo = 3)
+    // the crashed attempt left its tagged marker but never journaled
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stage/stage4_store_attempt"),
+      "crashed-attempt-tag".getBytes("UTF-8"))
+    // a later batch advances the watermark past this batch's max id
+    val late = Seq((1000L, words("zz"))).toDF("doc_id", "text")
+    SignatureStore.appendSignatures(spark, store,
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "bh"),
+      late.select(col("doc_id"),
+        graft.ops.Dedup.hashShingles(
+          graft.ops.Dedup.distinctShingles(col("text"), 3)).as("sh")))
+    CleaningPipeline.cleanedMetaResumable(docs, bench, stage, Nil,
+      k = 32, bands = 16, shingleN = 3, maxBucket = 64, minJaccard = 0.8,
+      minOverlap = 5, storePath = Some(store),
+      allowStoreReplay = true).count()
+    val ids = spark.read.parquet(s"$store/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 1000L), s"batch signatures lost: $ids")
+    // ...and the commit is now positively recorded under the tag
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$store/_store_meta.json")), "UTF-8")
+    assert(metaJson.contains(""""lastCommitTag":"crashed-attempt-tag""""),
+      metaJson)
+  }
+
   test("corpus text is read exactly once across the whole chain") {
     import spark.implicits._
     // byte-level FS statistics can't see Spark 4's local-parquet fast
