@@ -361,11 +361,19 @@ object NelEval {
     * pred `(url, types, l, r)` with ranked alternatives, gold
     * `(url, entity, l, r)`. The tag universe is derived from the tables
     * themselves (primary alternatives ∪ gold links). */
-  def reportFromLinkTables(pred: DataFrame, gold: DataFrame): DataFrame = {
+  def reportFromLinkTables(pred: DataFrame, gold: DataFrame): DataFrame =
+    SpanEval.reportFromScenarios(linkScenarioTable(pred, gold))
+
+  /** The link-table scenario table `(url, eType, n, scenario)` behind
+    * [[reportFromLinkTables]] — the staging surface for external
+    * oracles (kg13 pins it to parquet; the report assembly above it is
+    * plain SQL, which DuckDB recomputes). */
+  private[graft] def linkScenarioTable(pred: DataFrame,
+      gold: DataFrame): DataFrame = {
     val primaries = boundedTagCollect(
       pred.select(element_at(col("types"), 1).as("t"))
         .unionAll(gold.select(col("entity").as("t"))))
-    SpanEval.reportFromScenarios(scenarioCounts(pred, gold, primaries))
+    scenarioCounts(pred, gold, primaries)
   }
 
   /** Sliced NEL evaluation over link tables — the `--noise-level` /
@@ -382,15 +390,25 @@ object NelEval {
     * exact for TIME (the date is per-document); for token-deletion LED
     * semantics use [[reportSlicedFromTokens]]. */
   def reportSliced(pred: DataFrame, gold: DataFrame,
+      slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    SpanEval.slicedAssembly(
+      slicedLinkScenarioTable(pred, gold, slices).localCheckpoint(),
+      slices.map(_._1))
+
+  /** The per-slice scenario scan `(url, eType, n, scenario, slice)`
+    * behind [[reportSliced]] — kg14's staging surface (same rationale
+    * as [[linkScenarioTable]]). The tag universe stays global
+    * (pre-slice), per the scorer contract. */
+  private[graft] def slicedLinkScenarioTable(pred: DataFrame,
+      gold: DataFrame,
       slices: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     val primaries = boundedTagCollect(
       pred.select(element_at(col("types"), 1).as("t"))
         .unionAll(gold.select(col("entity").as("t"))))
-    val scan = slices.map { case (name, predicate) =>
+    slices.map { case (name, predicate) =>
       scenarioCounts(pred.where(predicate), gold.where(predicate), primaries)
         .withColumn("slice", lit(name))
-    }.reduce(_ unionByName _).localCheckpoint()
-    SpanEval.slicedAssembly(scan, slices.map(_._1))
+    }.reduce(_ unionByName _)
   }
 
   /** Token-level sliced NEL report — the exact `--noise_level` /

@@ -115,7 +115,8 @@ object SpanEval {
     *
     * Returns one row per (url, eType, scenario) with a count.
     */
-  private def scenarioCounts(pred: DataFrame, gold: DataFrame): DataFrame = {
+  private[graft] def scenarioCounts(pred: DataFrame,
+      gold: DataFrame): DataFrame = {
     val spark = pred.sparkSession
     import spark.implicits._
     val p0 = pred.select(
@@ -205,7 +206,7 @@ object SpanEval {
     * table `(url, eType, n, scenario)` — shared by the NERC report above
     * and the NEL report ([[NelEval.report]]), which differ only in how the
     * scenarios are produced (flat entities vs link-alternative unions). */
-  private[eval] def reportFromScenarios(sc: DataFrame): DataFrame = {
+  private[graft] def reportFromScenarios(sc: DataFrame): DataFrame = {
     // scenario → per-regime (correct, incorrect, partial) contribution
     def n(s: String): Column =
       sum(when(col("scenario") === s, col("n")).otherwise(0L))
@@ -255,12 +256,26 @@ object SpanEval {
           lit(2.0) * col("p_micro") * col("r_micro") /
             (col("p_micro") + col("r_micro"))).otherwise(0.0))
 
-    // macro over types (ALL rows only): unweighted mean of per-type micro
+    // macro over types (ALL rows only): unweighted mean of per-type
+    // micro. The mean is a SORTED (by eType) sequential left fold, not
+    // `avg`: float addition is non-associative, so an order-free
+    // aggregate yields partitioning-dependent last-ulp results — the
+    // fold makes the report bit-deterministic across runs AND
+    // bit-reproducible by an external engine summing in the same order
+    // (the kg12–14 DuckDB oracles: `list_reduce(list(x ORDER BY
+    // eType), ...)`; 0.0+x == x in IEEE, so the init-less reduce
+    // equals this 0.0-seeded fold bit for bit).
+    def foldMean(xs: Column, field: String): Column =
+      aggregate(xs, lit(0.0), (acc, x) => acc + x.getField(field)) /
+        size(xs)
     val macros = withMicro.where(col("eType") =!= "ALL")
       .groupBy(col("regime"))
-      .agg(avg(col("p_micro")).as("p_macro"),
-        avg(col("r_micro")).as("r_macro"),
-        avg(col("f1_micro")).as("f1_macro"))
+      .agg(sort_array(collect_list(struct(col("eType"), col("p_micro"),
+        col("r_micro"), col("f1_micro")))).as("xs"))
+      .select(col("regime"),
+        foldMean(col("xs"), "p_micro").as("p_macro"),
+        foldMean(col("xs"), "r_micro").as("r_macro"),
+        foldMean(col("xs"), "f1_micro").as("f1_macro"))
     withMicro.join(macros, Seq("regime"), "left")
       .withColumn("p_macro",
         when(col("eType") === "ALL", col("p_macro")))
@@ -457,7 +472,8 @@ object SpanEval {
     * scan. A slice with no scenario rows still yields its zeroed ALL
     * section (the scorer's prebuilt metric_schema always reports ALL),
     * via a sentinel type filtered back out. */
-  private[eval] def slicedAssembly(scan: DataFrame, names: Seq[String]): DataFrame = {
+  private[graft] def slicedAssembly(scan: DataFrame,
+      names: Seq[String]): DataFrame = {
     val spark = scan.sparkSession
     import spark.implicits._
     // one pass over the (checkpointed, tiny) scan finds the empty slices,

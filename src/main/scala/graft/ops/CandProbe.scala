@@ -79,6 +79,26 @@ object CandProbe {
         // (the "window" variant was retired with the window twin —
         // round-6 measurement recorded in BENCH.md; twin now lives in
         // BoundedCapSpec only)
+        //
+        // round-6 verdict #8: the two-phase variant WITHOUT a broadcast
+        // (exact colliding-key table, shuffle semi-join, bounded-min on
+        // the reduced membership) — the one shape the round-6 refutation
+        // (broadcast thrash at 47M colliding buckets) did not measure.
+        // Pays the count floor + a full extra exchange of the banded
+        // rows to shrink the object aggregate's input to the colliding
+        // subset.
+        if (mode == "all" || mode == "twophase_nobc")
+          timed(s"B_twophase_nobc_r$r") {
+            val collide = banded.groupBy(col("band"), col("bh"))
+              .agg(count(lit(1)).as("_n"))
+              .where(col("_n") >= 2)
+              .select(col("band"), col("bh"))
+            val members = banded.join(collide, Seq("band", "bh"),
+              "left_semi")
+            System.err.println(s"CANDPROBE $cores pairs_B2 " +
+              graft.ops.Dedup.candidatePairsFromBanded(members, maxBucket)
+                .count())
+          }
         if (mode == "all") timed(s"B_twophase_r$r") {
           val collide = banded.groupBy(col("band"), col("bh"))
             .agg(count(lit(1)).as("_n"))
