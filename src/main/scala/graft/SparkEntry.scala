@@ -532,6 +532,18 @@ object SparkEntry {
         .select(col("id1"), col("id2"),
           col("hamming").cast("long").as("hamming"))
     }),
+    // SimHash near-dup CLUSTERS — the family's end-to-end composition
+    // (capped candidates → Hamming ≤ 3 verification → connected
+    // components → min-id representative + sizes) over the same staged
+    // signature bits as kg07; DuckDB recomputes the pair graph (capped
+    // blocking + bit_count filter) and closes it with a recursive CTE
+    // (the kg15 pattern)
+    "kg21_simhash_clusters" -> ((s, dir) => {
+      Dedup.clustersFromPairs(
+        Dedup.simhashNearDupPairsFromSigs(stagedSimhashSigs(s, dir),
+          blocks = 4, maxBucket = 64, maxHamming = 3)
+          .select(col("id1"), col("id2")))
+    }),
     // LSH-bucket ANN, oracle-checked via the kg03 staging pattern: the
     // non-SQL half (bucket assignment) is staged as a candidate-id
     // parquet, and DuckDB verifies the result IS the brute-force cosine
@@ -1581,6 +1593,42 @@ object SparkEntry {
          FROM capped a
          JOIN capped b
            ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id""",
+    // kg07's capped pair graph filtered to Hamming ≤ 3, closed into
+    // components by the kg15 recursive-CTE pattern — cluster_rep is the
+    // min doc_id in the component on both engines
+    "kg21_simhash_clusters" ->
+      s"""WITH RECURSIVE
+         sigs AS (
+           SELECT doc_id, sig
+           FROM read_parquet('$StageDir/kg07_sigs/*.parquet')),
+         exploded AS (
+           SELECT doc_id, sig, b.block AS block,
+             ((sig >> (b.block * 16)) & 65535) AS key
+           FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS block) b),
+         capped AS (
+           SELECT doc_id, sig, block, key FROM (
+             SELECT *, row_number() OVER
+               (PARTITION BY block, key ORDER BY doc_id) AS rn
+             FROM exploded)
+           WHERE rn <= 64),
+         p AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM capped a
+           JOIN capped b
+             ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM p
+                   UNION SELECT id2, id1 FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, root) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node),
+         sizes AS (SELECT component, COUNT(*) AS n_members
+                   FROM comp GROUP BY component)
+         SELECT c.node AS doc_id, c.component AS cluster_rep, z.n_members
+         FROM comp c JOIN sizes z USING (component)""",
     // LSH ANN ≡ brute-force top-k over the staged bucket candidates
     "kg08_ann_lsh" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

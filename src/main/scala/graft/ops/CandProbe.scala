@@ -28,9 +28,20 @@ import org.apache.spark.sql.functions._
   * skew-safety that bounds a degenerate bucket's shuffle contribution.
   * Kept as the reproducible record of that negative result.
   *
+  * ROUND-7 CLOSURE: the last unmeasured shape — two-phase WITHOUT a
+  * broadcast (exact colliding-key table, shuffle left-semi, bounded-min
+  * on the colliding subset; `twophase_nobc`) — measured in the same
+  * idle window: floor 79–84 s, A 109–137 s, B2 219–224 s, identical
+  * emitted pairs (3,011,907). The second full exchange of the banded
+  * rows costs ~2× what the shrunken aggregate saves. Every two-phase
+  * shape is now measured and loses; the single-pass bounded-min is the
+  * shipped form permanently (BENCH.md round-7 entry).
+  *
   * Usage: runMain graft.ops.CandProbe <cores> [nDocs=20000000]
-  * [all|count|agg] (expects /tmp/graft_cleaning_corpus_<nDocs>; stages
-  * its own projection to /dev/shm, deleted afterwards)
+  * [all|count|agg|twophase_nobc|nobc] (expects
+  * /tmp/graft_cleaning_corpus_<nDocs>; stages its own projection to
+  * /dev/shm — sweep /dev/shm of crashed-JVM leftovers first, see the
+  * substrate note in BENCH.md round 7)
   */
 object CandProbe {
 
@@ -59,20 +70,29 @@ object CandProbe {
           f"CANDPROBE $cores $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
         r
       }
+      // 32 MB row groups on the staged write: 32 concurrent default
+      // (128 MB) parquet writers buffer ~4 GB against the 8 GB bench
+      // heap and OOM'd the staging nondeterministically (round-7 probe
+      // sessions); the staged table is probe-transient, row-group size
+      // is irrelevant to what is being measured
       spark.read.parquet(s"/tmp/graft_cleaning_corpus_$nDocs/docs")
         .select(col("doc_id"),
           graft.ops.Dedup.minhashSignature(col("text"), k, shingleN).as("sig"))
-        .write.mode("overwrite").parquet(stagedDir)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 33554432)
+        .parquet(stagedDir)
       def banded = graft.ops.Dedup.bandRowsFromSigs(
         spark.read.parquet(stagedDir), k, bands)
       val mode = if (args.length >= 3) args(2) else "all"
       (1 to 2).foreach { r =>
-        if (mode == "all" || mode == "count") timed(s"B_countonly_r$r") {
+        if (mode == "all" || mode == "count" || mode == "nobc")
+          timed(s"B_countonly_r$r") {
           System.err.println(s"CANDPROBE $cores colliding_buckets " +
             banded.groupBy(col("band"), col("bh"))
               .agg(count(lit(1)).as("_n")).where(col("_n") >= 2).count())
         }
-        if (mode == "all" || mode == "agg") timed(s"A_boundedmin_r$r") {
+        if (mode == "all" || mode == "agg" || mode == "nobc")
+          timed(s"A_boundedmin_r$r") {
           System.err.println(s"CANDPROBE $cores pairs_A " +
             graft.ops.Dedup.candidatePairsFromBanded(banded, maxBucket).count())
         }
@@ -87,7 +107,7 @@ object CandProbe {
         // Pays the count floor + a full extra exchange of the banded
         // rows to shrink the object aggregate's input to the colliding
         // subset.
-        if (mode == "all" || mode == "twophase_nobc")
+        if (mode == "all" || mode == "twophase_nobc" || mode == "nobc")
           timed(s"B_twophase_nobc_r$r") {
             val collide = banded.groupBy(col("band"), col("bh"))
               .agg(count(lit(1)).as("_n"))

@@ -496,4 +496,45 @@ object Dedup {
       .select(col("id1"), col("id2"),
         hamming64(col("sig1"), col("sig2")).as("hamming"))
   }
+
+  /** SimHash near-dup pairs: capped block-key candidates kept at Hamming
+    * distance ≤ `maxHamming` — the verification step of the SimHash
+    * family (Charikar's criterion: near-duplicates differ in few
+    * signature bits; `blocks = 4` guarantees a shared block key up to
+    * 3 differing bits, so `maxHamming ≤ blocks - 1` is exhaustive over
+    * uncapped buckets). The Hamming filter is a scalar predicate on the
+    * candidate rows — no extra shuffle beyond candidate generation. */
+  def simhashNearDupPairs(docs: DataFrame, blocks: Int = 4,
+      maxBucket: Int = 64, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(docs, blocks, maxBucket)
+      .where(col("hamming") <= maxHamming)
+
+  /** [[simhashNearDupPairs]] over pre-computed `(doc_id, sig)`
+    * signatures (the staged/oracle form, like
+    * [[simhashCandidatesFromSigs]]). */
+  def simhashNearDupPairsFromSigs(sigs: DataFrame, blocks: Int = 4,
+      maxBucket: Int = 64, maxHamming: Int = 3): DataFrame =
+    simhashCandidatesFromSigs(sigs, blocks, maxBucket)
+      .where(col("hamming") <= maxHamming)
+
+  /** SimHash near-dup CLUSTERS `(doc_id, cluster_rep, n_members)` — the
+    * corpus analytic over the SimHash pair graph; identical CC tail to
+    * the MinHash family's [[clustersFromPairs]] (id-only shuffles, the
+    * component label IS the min doc_id). */
+  def simhashGroups(docs: DataFrame, blocks: Int = 4, maxBucket: Int = 64,
+      maxHamming: Int = 3): DataFrame =
+    clustersFromPairs(
+      simhashNearDupPairs(docs, blocks, maxBucket, maxHamming)
+        .select(col("id1"), col("id2")))
+
+  /** SimHash dedup as a corpus TRANSFORM: drop every clustered document
+    * except its min-id representative — the SimHash twin of
+    * [[nearDupDedup]] (same lean [[nearDupDropIds]] tail; the anti-join's
+    * right side is id-only). */
+  def simhashDedup(docs: DataFrame, blocks: Int = 4, maxBucket: Int = 64,
+      maxHamming: Int = 3): DataFrame =
+    docs.join(
+      nearDupDropIds(simhashNearDupPairs(docs, blocks, maxBucket,
+        maxHamming)),
+      Seq("doc_id"), "left_anti")
 }

@@ -196,6 +196,21 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains(Set(1L, 2L)))
   }
 
+  test("simhash dedup family: exact copies cluster with their source; distinct docs survive") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, other))
+    // copies share every block key and sit at hamming 0 → one cluster
+    // with the min id as representative
+    val groups = Dedup.simhashGroups(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((1L, 1L, 2L), (2L, 1L, 2L)))
+    // the transform keeps the representative and the unrelated doc
+    val kept = Dedup.simhashDedup(d, maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   // --- ANN ---
 
   test("brute-force cosine top-k matches a driver-side reference computation") {

@@ -168,6 +168,16 @@ class BoundedCapSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSet == winRef)
   }
 
+  test("simhash candidate plan runs the partial bounded-min aggregate") {
+    import spark.implicits._
+    val sigs = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "sig")
+    val plan = Dedup.simhashCandidatesFromSigs(sigs, blocks = 4,
+      maxBucket = 8).queryExecution.executedPlan.toString
+    // same two-phase shape as the MinHash path: the map-side instance
+    // caps a degenerate block bucket's shuffle contribution
+    assert(plan.contains("partial_graft_bounded_min_longs"), plan)
+  }
+
   test("bounded-min agg aggregates in two phases (map-side partial cap)") {
     import spark.implicits._
     val banded = Seq((1L, 0, 1L), (2L, 0, 1L), (3L, 0, 1L))
