@@ -49,6 +49,39 @@ class HipeParitySpec extends AnyFunSuite {
     (grab("TP"), grab("FP"), grab("FN"))
   }
 
+  test("report macro means are bit-deterministic across partitionings") {
+    import spark.implicits._
+    // the eType-ordered sequential fold (round 7) replaced `avg` exactly
+    // so the macro columns stop depending on shuffle partitioning at the
+    // last ulp — the property the kg12-14 DuckDB oracles' bit-exact
+    // float comparison rests on. Fractions with odd denominators (7, 13)
+    // make any order-sensitive float accumulation visible.
+    val rnd = new scala.util.Random(5)
+    val sc = (1 to 400).map { i =>
+      (s"d${rnd.nextInt(30)}", s"T${rnd.nextInt(13)}", 1L + rnd.nextInt(7),
+        Seq("I", "II", "III", "IV", "V", "VI")(rnd.nextInt(6)))
+    }.toDF("url", "eType", "n", "scenario")
+    def macros(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      SpanEval.reportFromScenarios(df)
+        .where(col("eType") === "ALL")
+        .select(col("regime"), col("p_macro"), col("r_macro"),
+          col("f1_macro"))
+        .collect()
+        .flatMap(r => Seq(
+          (r.getString(0), "p") -> r.getDouble(1),
+          (r.getString(0), "r") -> r.getDouble(2),
+          (r.getString(0), "f") -> r.getDouble(3)))
+        .toMap
+    val a = macros(sc.repartition(1))
+    val b = macros(sc.repartition(16, col("scenario")))
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) =>
+      // EXACT bit equality, not a tolerance — that is the claim
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(b(k)), s"$k: $v vs ${b(k)}")
+    }
+  }
+
   private def check(pair: String, refJson: String, column: TsvToken => String): Unit = {
     val pred = spansDf(s"$base/unittest-$pair-pred.tsv", column)
     val gold = spansDf(s"$base/unittest-$pair-true.tsv", column)
