@@ -2,6 +2,7 @@ package graft.canon
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Catalyst-only connected components (SURVEY L5, §4.2 item 4).
   *
@@ -28,6 +29,20 @@ import org.apache.spark.sql.functions._
   *    is one round's frame — not rounds × frame — and the terminal
   *    compaction drops the convergence column, leaving only
   *    `(node, component)` behind at 10^9-node scale;
+  *  - all loop state is checkpointed SERIALIZED and disk-spillable
+  *    (`MEMORY_AND_DISK_SER`, not the deserialized `MEMORY_AND_DISK`
+  *    default): UnsafeRow objects stored deserialized cost ~3× their
+  *    payload in heap, and under a fixed executor heap the storage pool
+  *    then starves the per-round join/aggregate execution memory —
+  *    measured as a child-JVM heap OOM at 20M edges / 8 GB heap
+  *    (BENCH.md round-7 CcBench), where the serialized form runs in the
+  *    same heap. These blocks are read at most twice per round, so the
+  *    decode cost is noise next to the round's shuffle;
+  *  - the symmetrized edge table and the round-0 label table are freed
+  *    when their last reader has run (loop end / round-1 count) — before
+  *    round 7 they leaked in the block manager for the session lifetime,
+  *    which a long-lived driver calling CC repeatedly (streaming
+  *    compaction cadence, per-year metrics) cannot afford;
   *  - the edge table is materialized once (symmetric, deduped) and reused
   *    every round — one shuffle per round on `node`.
   *
@@ -66,7 +81,7 @@ object ConnectedComponents {
       .unionAll(edges.select(col("dst").as("name")))
       .distinct()
       .withColumn("id", monotonically_increasing_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
     val e = edges
       .join(nodes.select(col("name").as("src"), col("id").as("_srcId")), "src")
       .join(nodes.select(col("name").as("dst"), col("id").as("_dstId")), "dst")
@@ -87,7 +102,7 @@ object ConnectedComponents {
       .unionAll(
         edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
 
     // lazy like `sym`: round 1's convergence count materializes both in
     // its own job (persisted blocks cache on first compute, so the
@@ -96,7 +111,7 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
 
     var iter = 0
     var converged = false
@@ -109,8 +124,10 @@ object ConnectedComponents {
     // later via [[CheckpointBridge]] (Spark never unpersists checkpoint
     // blocks until GC): the live footprint is ONE round's frame, not
     // O(rounds), and the terminal compaction below leaves only the
-    // 2-column result.
-    var prevWide: Option[DataFrame] = None
+    // 2-column result. The chain starts at the round-0 label table —
+    // round 1's count is its last reader, so it is freed like any other
+    // round's predecessor (it used to survive the whole session).
+    var prevState: Option[DataFrame] = Some(labels)
     while (iter < maxIter && !converged) {
       // pointer doubling FIRST, against the checkpointed label table (both
       // branches of the self-join read materialized data, so no extra
@@ -134,29 +151,34 @@ object ConnectedComponents {
           col("_old"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
             .as("component"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
       val changed = wide.where(col("component") =!= col("_old")).count()
       // the count just materialized THIS round from the previous round's
       // blocks — the previous frame has no future reader, free it now
-      prevWide.foreach(
+      prevState.foreach(
         org.apache.spark.sql.graftbridge.CheckpointBridge
           .unpersistLocalCheckpoint(_))
-      prevWide = Some(wide)
+      prevState = Some(wide)
       labels = wide.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
     }
+    // the loop has run its last propagation join — `sym` has no future
+    // reader (the terminal compaction below reads only the last wide)
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .unpersistLocalCheckpoint(sym)
     // terminal compaction: persist the 2-column result in its own
     // checkpoint (one pass over the last wide's blocks), then free the
-    // last wide — callers see fully materialized (node, component) state
-    // and the _old payload is gone from the block manager entirely
-    if (prevWide.isDefined) {
-      labels = labels.localCheckpoint(eager = false)
-      labels.count()
-      prevWide.foreach(
-        org.apache.spark.sql.graftbridge.CheckpointBridge
-          .unpersistLocalCheckpoint(_))
-    }
+    // last state frame — callers see fully materialized (node,
+    // component) state and the _old payload is gone from the block
+    // manager entirely. (If the loop ran zero rounds — maxIter = 0 —
+    // prevState is the round-0 table and the compaction still holds.)
+    labels = labels.localCheckpoint(eager = false,
+      StorageLevel.MEMORY_AND_DISK_SER)
+    labels.count()
+    prevState.foreach(
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistLocalCheckpoint(_))
     (labels, iter)
   }
 }

@@ -245,33 +245,40 @@ class EvalGraphSpec extends AnyFunSuite {
     import spark.implicits._
     val sc = spark.sparkContext
     // graph with several rounds (chain of 1024) + bulk nodes (disjoint
-    // pairs) so the per-round label payload dominates the edge table
-    val m = 20000
+    // TRIANGLES: 3 edges per 3 nodes puts the symmetrized edge table at
+    // ~2× the node count, so a leaked sym is ~2× the remaining-bytes
+    // allowance below — pairs would leave a sym leak inside the bound)
+    val m = 14000
     val chain = (0L until 1024L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val pairs = (0 until m).map(i => (100000L + 2 * i, 100001L + 2 * i))
-    val edges = (chain ++ pairs).toDF("src", "dst")
-    val nNodes = 1024L + 2L * m
-    val nSymRows = 2L * (1023L + m)
+    val tris = (0 until m).flatMap { i =>
+      val a = 100000L + 3 * i; Seq((a, a + 1), (a + 1, a + 2), (a, a + 2))
+    }
+    val edges = (chain ++ tris).toDF("src", "dst")
+    val nNodes = 1024L + 3L * m
+    val nSymRows = 2L * (1023L + 3L * m)
 
     // self-calibration: measure what THIS JVM's block manager charges for
-    // an n-row 2-col vs 3-col checkpointed label frame, so the assertion
-    // is layout-independent (deserialized block sizes include JVM object
-    // overhead that no constant can pin down)
+    // an n-row 2-col vs 3-col checkpointed label frame AT THE LOOP'S OWN
+    // STORAGE LEVEL (serialized + disk-spillable), so the assertion is
+    // layout-independent (serialized block sizes still carry per-block
+    // overheads that no constant can pin down)
     def newlyPersistedBytes[T](f: => T): (T, Long) = {
       val before = sc.getRDDStorageInfo.map(_.id).toSet
       val r = f
       val after = sc.getRDDStorageInfo.filterNot(i => before(i.id))
       (r, after.map(i => i.memSize + i.diskSize).sum)
     }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val calRows = 100000L
     val (_, b2) = newlyPersistedBytes {
       spark.range(calRows).select(col("id").as("node"),
-        col("id").as("component")).localCheckpoint().count()
+        col("id").as("component"))
+        .localCheckpoint(eager = true, lvl).count()
     }
     val (_, b3) = newlyPersistedBytes {
       spark.range(calRows).select(col("id").as("node"),
         col("id").as("_old"), col("id").as("component"))
-        .localCheckpoint().count()
+        .localCheckpoint(eager = true, lvl).count()
     }
     val perRow2 = b2.toDouble / calRows
     val perRow3 = b3.toDouble / calRows
@@ -285,7 +292,7 @@ class EvalGraphSpec extends AnyFunSuite {
     // must delay the measurement, never flip the assertion
     def residual(): Long = sc.getRDDStorageInfo
       .filterNot(i => beforeIds(i.id)).map(i => i.memSize + i.diskSize).sum
-    val pollBound = (perRow2 * (nSymRows + 2 * nNodes) * 1.35).toLong
+    val pollBound = (perRow2 * nNodes * 1.35).toLong
     val deadline = System.nanoTime() + 15L * 1000000000L
     var measured = residual()
     while (measured >= pollBound && System.nanoTime() < deadline) {
@@ -294,17 +301,22 @@ class EvalGraphSpec extends AnyFunSuite {
     }
     assert(labels.count() == nNodes)
     assert(rounds >= 3, s"fixture too shallow for the payload assertion: $rounds")
-    // What REMAINS persisted after the run must be bounded and compact:
-    // sym + initial labels + the terminal (node, component) checkpoint —
-    // NOT one frame per round (the loop frees round r-1's checkpoint as
-    // round r materializes; Spark alone would hold all of them to GC),
-    // and NOT the 3-col _old payload (the terminal compaction drops it).
-    val bound = perRow2 * (nSymRows + 2 * nNodes) * 1.35
+    // What REMAINS persisted after the run must be EXACTLY the terminal
+    // (node, component) checkpoint: the loop frees round r-1's frame as
+    // round r materializes (Spark alone would hold all of them to GC),
+    // frees the symmetrized edge table and round-0 labels once their
+    // last reader has run, and the terminal compaction drops the 3-col
+    // _old payload. nSymRows enters the bound only as slack-free
+    // evidence: sym alone would be ~2× the allowance here.
+    val bound = perRow2 * nNodes * 1.35
     val ifAccumulated = perRow3 * rounds * nNodes
-    info(f"remaining=$measured bound=$bound%.0f ifAccumulated=$ifAccumulated%.0f rounds=$rounds")
+    val ifSymLeaked = perRow2 * nSymRows
+    info(f"remaining=$measured bound=$bound%.0f ifAccumulated=$ifAccumulated%.0f " +
+      f"ifSymLeaked=$ifSymLeaked%.0f rounds=$rounds")
     assert(measured < bound,
-      f"persisted $measured bytes remain — bound $bound%.0f (O(1) rounds, " +
-        f"2-col); per-round accumulation would be ~$ifAccumulated%.0f")
+      f"persisted $measured bytes remain — bound $bound%.0f (terminal 2-col " +
+        f"frame only); per-round accumulation would be ~$ifAccumulated%.0f, " +
+        f"a leaked sym alone ~$ifSymLeaked%.0f")
     assert(measured > perRow2 * nNodes / 2, "fixture degenerate")
   }
 
