@@ -38,6 +38,12 @@ import org.apache.spark.storage.StorageLevel
   *    (BENCH.md round-7 CcBench), where the serialized form runs in the
   *    same heap. These blocks are read at most twice per round, so the
   *    decode cost is noise next to the round's shuffle;
+  *  - loop checkpoints are LEAN (CheckpointBridge.localCheckpointLeanStats,
+  *    no carried originStats/originConstraints): the default wrapper's
+  *    join-multiplied `sizeInBytes` SQUARES per round through the
+  *    self-join, and the resulting million-digit BigInt arithmetic in
+  *    every driver stats visit grew ×2.85/round — 97 s of the 20M run's
+  *    121 s final round, independent of data size (BENCH.md round 7);
   *  - the symmetrized edge table and the round-0 label table are freed
   *    when their last reader has run (loop end / round-1 count) — before
   *    round 7 they leaked in the block manager for the session lifetime,
@@ -93,25 +99,45 @@ object ConnectedComponents {
 
   /** As [[run]], additionally returning the number of rounds executed —
     * per-call observability for capacity math (the loop's shuffle count is
-    * rounds × per-round stages) that is safe under concurrent runs. */
-  def runCounted(edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
-    val sym = edges
+    * rounds × per-round stages) that is safe under concurrent runs.
+    *
+    * @param onRound per-round observer `(round, changedLabels, seconds)`,
+    *                called after each round's convergence count — the hook
+    *                CcBench's `rounds` diagnostic mode uses to attribute
+    *                convergence-tail cost (BENCH.md round 7: rounds 17-21
+    *                of the 20M ladder slowed 19→121 s while rounds 1-15
+    *                held ~17 s). Default no-op; must not touch the loop's
+    *                DataFrames.
+    */
+  def runCounted(edges: DataFrame, maxIter: Int = 30,
+      onRound: (Int, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Int) = {
+    // ALL loop checkpoints use the LEAN wrapper (no originStats/
+    // originConstraints): the default wrapper carries the pre-checkpoint
+    // plan's size estimate, which the size-only visitor MULTIPLIES
+    // through joins — so a join-then-checkpoint loop SQUARES the carried
+    // BigInt every round and the driver ends up doing million-digit
+    // arithmetic in every stats visit. Measured on the 20M CcBench:
+    // rounds 17-21 slowed 19→121 s with 97 s of the last round in
+    // SizeInBytesOnlyStatsPlanVisitor on the DRIVER, data-independently
+    // (same blow-up on 1k rows — tools/CcPlanProbe; regression-specced
+    // structurally in EvalGraphSpec via carriedSizeInBytes).
+    import org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointLeanStats
+    val sym = localCheckpointLeanStats(edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
       .unionAll(
         edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
-      .distinct()
-      .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
+      .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
 
     // lazy like `sym`: round 1's convergence count materializes both in
     // its own job (persisted blocks cache on first compute, so the
     // self-join branches below still read ONE materialization) — eager
     // checkpoints here would spend two extra jobs for the same state
-    var labels = sym.select(col("a").as("node"))
+    var labels = localCheckpointLeanStats(sym.select(col("a").as("node"))
       .distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
+      .withColumn("component", col("node")), StorageLevel.MEMORY_AND_DISK_SER)
 
     var iter = 0
     var converged = false
@@ -129,6 +155,7 @@ object ConnectedComponents {
     // round's predecessor (it used to survive the whole session).
     var prevState: Option[DataFrame] = Some(labels)
     while (iter < maxIter && !converged) {
+      val roundT0 = System.nanoTime()
       // pointer doubling FIRST, against the checkpointed label table (both
       // branches of the self-join read materialized data, so no extra
       // materialization pass is needed): component := label(component)
@@ -144,14 +171,13 @@ object ConnectedComponents {
         .agg(min(col("component")).as("nbrMin"))
       // `_old` is the pre-round label, so `changed == 0` means
       // compression AND propagation are both at fixpoint
-      val wide = compressed
+      val wide = localCheckpointLeanStats(compressed
         .join(proposals, Seq("node"), "left")
         .select(
           col("node"),
           col("_old"),
           least(col("component"), coalesce(col("nbrMin"), col("component")))
-            .as("component"))
-        .localCheckpoint(eager = false, StorageLevel.MEMORY_AND_DISK_SER)
+            .as("component")), StorageLevel.MEMORY_AND_DISK_SER)
       val changed = wide.where(col("component") =!= col("_old")).count()
       // the count just materialized THIS round from the previous round's
       // blocks — the previous frame has no future reader, free it now
@@ -162,6 +188,7 @@ object ConnectedComponents {
       labels = wide.select(col("node"), col("component"))
       converged = changed == 0
       iter += 1
+      onRound(iter, changed, (System.nanoTime() - roundT0) / 1e9)
     }
     // the loop has run its last propagation join — `sym` has no future
     // reader (the terminal compaction below reads only the last wide)
@@ -173,7 +200,7 @@ object ConnectedComponents {
     // component) state and the _old payload is gone from the block
     // manager entirely. (If the loop ran zero rounds — maxIter = 0 —
     // prevState is the round-0 table and the compaction still holds.)
-    labels = labels.localCheckpoint(eager = false,
+    labels = localCheckpointLeanStats(labels,
       StorageLevel.MEMORY_AND_DISK_SER)
     labels.count()
     prevState.foreach(

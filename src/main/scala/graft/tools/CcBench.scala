@@ -157,6 +157,179 @@ object CcBench {
     } finally spark.stop()
   }
 
+  /** Diagnostic mode: run ONE CC measurement in THIS JVM with per-round
+    * walls, changed-label counts, and a stage-level task listener
+    * (duration skew, per-task shuffle-read skew, spill) — the instrument
+    * for the round-7 convergence-tail finding, where the 20M ladder's
+    * rounds 17-21 slowed 19→121 s while rounds 1-15 held ~17 s. A
+    * growing max/avg task ratio on one stage per round is the skew
+    * signature (the giant random-half component concentrating the
+    * pointer-doubling join's `component` key); flat ratios with growing
+    * spill would instead indict storage pressure.
+    *
+    * First 20M run's verdict (BENCH.md round 7): the visible stages of
+    * the 114 s final round sum to ~34 s — the tail is NOT task
+    * execution, so the instrument also reports per-round driver GC
+    * delta, /dev/shm (spark.local.dir) free bytes, and job-boundary
+    * offsets to split "inside jobs but between stages" from "outside
+    * jobs entirely". */
+  private def roundsMain(cores: Int, nEdges: Long): Unit = {
+    materialize(nEdges)
+    System.err.println(
+      f"CALIB $cores ${HostCalibration.cpuCalibrationWall()}%.2f s")
+    val shufflePartitions =
+      sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse(
+        math.max(cores * 2, math.min(1024L, nEdges / 300000L).toInt))
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-cc-rounds-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val epoch = System.currentTimeMillis()
+    // per-stage task stats: [nTasks, sumDurMs, maxDurMs, sumShufReadB,
+    // maxTaskShufReadB, sumSpillDiskB]
+    val stats =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Int, Long, Long)]() // (stageId, numTasks, submitMs, durMs)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Long)]() // (jobId, startMs, endMs)
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val jobsInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val a = stats.computeIfAbsent(t.stageId, _ => new Array[Long](6))
+          val sr = Option(t.taskMetrics)
+            .map(_.shuffleReadMetrics.totalBytesRead).getOrElse(0L)
+          val sp = Option(t.taskMetrics)
+            .map(_.diskBytesSpilled).getOrElse(0L)
+          a.synchronized {
+            a(0) += 1; a(1) += t.taskInfo.duration
+            a(2) = math.max(a(2), t.taskInfo.duration)
+            a(3) += sr; a(4) = math.max(a(4), sr); a(5) += sp
+          }
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val i = s.stageInfo
+          done.add((i.stageId, i.numTasks,
+            i.submissionTime.getOrElse(0L),
+            i.completionTime.getOrElse(0L) -
+              i.submissionTime.getOrElse(0L)))
+        }
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsInFlight.incrementAndGet()
+          jobStarts.put(j.jobId, j.time)
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobsInFlight.decrementAndGet()
+          val s = jobStarts.remove(j.jobId)
+          jobs.add((j.jobId, if (s == null) 0L else s.longValue(), j.time))
+        }
+      })
+    // poor-man's driver profiler: while NO job is in flight (the growing
+    // inter-stage gaps), sample the main thread's stack and histogram the
+    // deepest spark/graft frame — names the driver-side code burning the
+    // convergence tail without attaching a real profiler
+    val mainThread = Thread.currentThread()
+    val frameCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+    val sampler = new Thread(() => {
+      while (true) {
+        if (jobsInFlight.get() == 0) {
+          val st = mainThread.getStackTrace
+          val frame = st.find(e =>
+            e.getClassName.startsWith("org.apache.spark") ||
+              e.getClassName.startsWith("graft"))
+            .map(e => s"${e.getClassName}.${e.getMethodName}")
+            .getOrElse(if (st.nonEmpty)
+              s"${st.head.getClassName}.${st.head.getMethodName}" else "?")
+          frameCounts.merge(frame, 1, (a, b) => a + b)
+        }
+        Thread.sleep(100)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val shmStore = Files.getFileStore(Paths.get("/dev/shm"))
+    var lastGc = gcMs()
+    def drainStages(print: Boolean): Unit = {
+      var s = done.poll()
+      while (s != null) {
+        val (sid, n, sub, dur) = s
+        if (print && dur >= 500) {
+          val a = stats.getOrDefault(sid, new Array[Long](6))
+          val avgMs = if (a(0) > 0) a(1) / a(0) else 0L
+          val avgRd = if (a(0) > 0) a(3) / a(0) else 0L
+          println(f"  STAGE $sid%4d t0=${(sub - epoch) / 1000.0}%7.1fs " +
+            f"tasks=$n%4d dur=${dur / 1000.0}%6.1fs " +
+            f"maxTask=${a(2) / 1000.0}%6.1fs avgTask=${avgMs / 1000.0}%6.1fs " +
+            f"maxRead=${a(4) / 1048576.0}%7.1fMB avgRead=${avgRd / 1048576.0}%7.1fMB " +
+            f"spill=${a(5) / 1048576.0}%7.1fMB")
+        }
+        s = done.poll()
+      }
+      var j = jobs.poll()
+      while (j != null) {
+        val (jid, st, en) = j
+        if (print && en - st >= 500)
+          println(f"  JOB   $jid%4d t0=${(st - epoch) / 1000.0}%7.1fs " +
+            f"dur=${(en - st) / 1000.0}%6.1fs")
+        j = jobs.poll()
+      }
+      if (print) {
+        val gc = gcMs()
+        println(f"  HOST  gcDelta=${(gc - lastGc) / 1000.0}%.1fs " +
+          f"shmFree=${shmStore.getUsableSpace / 1073741824.0}%.1fGB " +
+          f"tNow=${(System.currentTimeMillis() - epoch) / 1000.0}%.1fs")
+        lastGc = gc
+        val top = {
+          val b = Seq.newBuilder[(String, Int)]
+          frameCounts.forEach((k, v) => b += ((k, v.intValue())))
+          frameCounts.clear()
+          b.result().sortBy(-_._2).take(5)
+        }
+        top.foreach { case (f, n) =>
+          println(f"  DRIVER $n%4d samples  $f")
+        }
+      }
+    }
+    try {
+      val warm = ConnectedComponents.run(spark.read.parquet(dir(nEdges / 10)))
+      warm.count()
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistLocalCheckpoint(warm)
+      drainStages(print = false)
+      val e = spark.read.parquet(dir(nEdges))
+      val t0 = System.nanoTime()
+      val (labels, iters) = ConnectedComponents.runCounted(e, maxIter = 40,
+        onRound = (iter, changed, secs) => {
+          println(f"ROUND $iter%2d changed=$changed%,d wall=$secs%.1f s")
+          drainStages(print = true)
+        })
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (nComp, nNodes, dig) = digest(labels)
+      println(s"SINGLE $cores $nEdges $wall $iters $nComp $nNodes $dig")
+    } finally spark.stop()
+  }
+
   private def runInChildJvm(cores: Int,
       nEdges: Long): (Double, Int, Long, Long, Long, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -184,6 +357,10 @@ object CcBench {
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "single") {
       singleMain(args(1).toInt, args(2).toLong)
+      return
+    }
+    if (args.length >= 3 && args(0) == "rounds") {
+      roundsMain(args(1).toInt, args(2).toLong)
       return
     }
     val nEdges = if (args.nonEmpty) args(0).toLong else 20000000L

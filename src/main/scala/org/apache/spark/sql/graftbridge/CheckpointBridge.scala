@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Unpersist the block-manager state behind a `localCheckpoint`ed
   * Dataset.
@@ -24,5 +25,56 @@ object CheckpointBridge {
     df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking)
       case _ => ()
+    }
+
+  /** `localCheckpoint` WITHOUT the origin plan's statistics/constraints —
+    * the fix for exponential driver-side stats arithmetic in iterated
+    * checkpoint-join loops (the connected-components convergence tail).
+    *
+    * `Dataset.localCheckpoint` wraps the result in a [[LogicalRDD]] that
+    * carries `originStats` — the PRE-checkpoint optimized plan's
+    * `Statistics`, whose `sizeInBytes` the size-only estimator built by
+    * MULTIPLYING child sizes through every join. A loop that joins round
+    * r's checkpoint with itself and checkpoints again therefore SQUARES
+    * the carried `sizeInBytes` every round: the BigInt's digit count
+    * doubles per round (measured: 1.5e16 → 1e37 → 7e78 → 2.4e162 → ... on
+    * the CC loop), and by round ~18 every stats visit — at checkpoint
+    * creation and in each AQE re-optimization — does arithmetic on
+    * million-digit integers. On the 20M-edge CC bench this burned 97 s of
+    * the 121 s final round on the DRIVER (stack-sampled:
+    * `SizeInBytesOnlyStatsPlanVisitor`, samples ×2.85/round ≈ the
+    * Karatsuba cost of doubling digits), data-independently — the same
+    * blow-up reproduces on 1k rows once enough rounds run (CcPlanProbe).
+    *
+    * Rebuilding the wrapper without `originStats`/`originConstraints`
+    * resets every round's leaf estimate to the conf default, so within-
+    * round stats stay a handful of machine-word multiplies. The cost:
+    * the checkpointed frame reports `defaultSizeInBytes` (= never
+    * auto-broadcast, which iterative loop state should not be anyway) and
+    * contributes no inferred-filter constraints; partitioning, ordering,
+    * and the checkpointed blocks are preserved exactly. Use for loop
+    * state that feeds the NEXT iteration's plan; one-shot checkpoints can
+    * keep the richer default wrapper. */
+  def localCheckpointLeanStats(df: Dataset[_],
+      storageLevel: StorageLevel): DataFrame = {
+    val ckpt = df.toDF().localCheckpoint(eager = false, storageLevel)
+    ckpt.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val session = ckpt.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val lean = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(session, None, None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, lean)
+      case _ => ckpt
+    }
+  }
+
+  /** The origin `sizeInBytes` a checkpointed Dataset's wrapper carries
+    * (None when lean / not a checkpoint wrapper) — lets specs assert the
+    * non-compounding property structurally instead of by timing. */
+  def carriedSizeInBytes(df: Dataset[_]): Option[BigInt] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => Some(lr.computeStats().sizeInBytes)
+      case _ => None
     }
 }

@@ -320,6 +320,57 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(measured > perRow2 * nNodes / 2, "fixture degenerate")
   }
 
+  test("CC loop checkpoints carry no compounding size estimate (lean wrapper)") {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import org.apache.spark.storage.StorageLevel
+    // The default localCheckpoint wrapper carries the pre-checkpoint
+    // plan's join-MULTIPLIED sizeInBytes, so a join-then-checkpoint loop
+    // SQUARES the carried BigInt every round — by round ~18 the driver
+    // does million-digit arithmetic in every stats visit (measured: 97 s
+    // of the 20M CcBench's 121 s final round, data-independent; BENCH.md
+    // round 7). This spec pins the fix STRUCTURALLY — via the carried
+    // estimate, no timing: the default wrapper compounds across a 6-round
+    // self-join loop, the lean wrapper stays constant, and runCounted's
+    // returned state is lean-wrapped.
+    val lvl = StorageLevel.MEMORY_AND_DISK_SER
+    def selfJoinLoop(wrap: DataFrame => DataFrame): Seq[BigInt] = {
+      var cur = wrap(spark.range(64)
+        .select(col("id").as("node"), col("id").as("component")))
+      (1 to 6).map { _ =>
+        val next = wrap(cur
+          .join(cur.select(col("node").as("component"),
+            col("component").as("c2")), Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("c2"), col("component")).as("component")))
+        next.count()
+        cur = next
+        CheckpointBridge.carriedSizeInBytes(cur)
+          .getOrElse(fail("not a checkpoint wrapper"))
+      }
+    }
+    val std = selfJoinLoop(_.localCheckpoint(eager = false, lvl))
+    val lean = selfJoinLoop(CheckpointBridge.localCheckpointLeanStats(_, lvl))
+    // control — the compounding is real and the assertion below would
+    // catch a revert: the default wrapper's estimate explodes
+    // super-exponentially in bit length across 6 rounds
+    assert(std.last.bitLength > 4 * std.head.bitLength,
+      s"control broke: default wrapper no longer compounds " +
+        s"(${std.map(_.bitLength)})")
+    assert(lean.distinct.size == 1 && lean.head.bitLength <= 64,
+      s"lean wrapper compounded: ${lean.map(_.bitLength)}")
+    // and the shipped loop returns lean-wrapped state (a revert to the
+    // default wrapper would carry the multi-hundred-bit compounded value
+    // after the chain's ~6 rounds)
+    import spark.implicits._
+    val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val (labels, rounds) = ConnectedComponents.runCounted(chain.toDF("src", "dst"))
+    assert(rounds >= 4, s"fixture too shallow: $rounds")
+    val carried = CheckpointBridge.carriedSizeInBytes(labels)
+      .getOrElse(fail("terminal state not checkpoint-wrapped"))
+    assert(carried.bitLength <= 64,
+      s"terminal CC state carries a compounded estimate (${carried.bitLength} bits)")
+  }
+
   test("CC on names: dictionary keys never collide (distinct nodes stay distinct)") {
     import spark.implicits._
     // 5k disjoint string-keyed pairs across 16 partitions; any key
