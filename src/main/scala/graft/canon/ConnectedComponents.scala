@@ -50,7 +50,15 @@ import org.apache.spark.storage.StorageLevel
   *    which a long-lived driver calling CC repeatedly (streaming
   *    compaction cadence, per-year metrics) cannot afford;
   *  - the edge table is materialized once (symmetric, deduped) and reused
-  *    every round — one shuffle per round on `node`.
+  *    every round — and at data scale (auto-gated on its own materialized
+  *    volume, [[symmetrized]]) it is checkpointed pre-partitioned on the
+  *    join side `b` and pre-sorted within partitions, so the per-round
+  *    propagation join reads it exchange-free and sort-free (the
+  *    checkpoint wrapper preserves `outputPartitioning`/`outputOrdering`):
+  *    the rounds × edge-table exchange+sort that dominated the loop's
+  *    shuffle bytes is paid ONCE at setup. Only the label side
+  *    (node-count rows, 2 longs) moves per round. Small analytic graphs
+  *    skip the relayout and keep AQE's coalesced 1-task round stages.
   *
   * Input: edges with two long columns `src`, `dst`. Output: (`node`,
   * `component`) with `component` = min node id of the component.
@@ -97,6 +105,68 @@ object ConnectedComponents {
       .select(col("name"), col("component"))
   }
 
+  /** Minimum post-AQE partition count of the raw symmetrized table at
+    * which [[symmetrized]] re-lays it out for the propagation join. AQE
+    * coalesces the dedup exchange toward its ~64 MB advisory size, so the
+    * materialized partition count IS a free data-volume signal: ≥4
+    * coalesced partitions ≈ ≥0.25 GB of compressed edge pairs ≈ ≥8M sym
+    * rows — from there, ~log₂(diameter) rounds each exchanging+sorting
+    * the table dwarf the relayout's one extra pass (20M edges: relayout
+    * cut the 32-core loop 435→314 s). Below it, the relayout's fixed
+    * partition count would instead DEFEAT AQE's coalescing — every
+    * round's stages on a toy graph would run at
+    * `spark.sql.shuffle.partitions` tasks where AQE ran ~1 — measured as
+    * kg10/kg21 (many small per-year CC runs) doubling at sf0.1. */
+  private[graft] val RelayoutMinPartitions = 4
+
+  /** The loop's symmetrized, deduped edge table, checkpointed — and, at
+    * data scale (auto-gated; see [[RelayoutMinPartitions]]), PHYSICALLY
+    * LAID OUT for the per-round propagation join: hash-partitioned on the
+    * join column `b` (explicit partition count, so AQE cannot coalesce it
+    * away from what the captured partitioning advertises) and sorted
+    * within partitions by `b`. The checkpoint captures the physical
+    * plan's partitioning and ordering into the
+    * `org.apache.spark.sql.execution.LogicalRDD` wrapper
+    * (CheckpointBridge recovers them under AQE), so every round's
+    * sort-merge join reads this side exchange-free AND sort-free: the
+    * layout is paid once — one extra linear pass over the id-pair
+    * blocks — instead of an edge-table exchange+sort in every one of
+    * ~log₂(diameter) rounds. Only the label side (2 longs/node) moves
+    * per round.
+    *
+    * `private[graft]` so EvalGraphSpec can assert the captured layout,
+    * the exchange-free propagation join, and both sides of the gate
+    * structurally. */
+  private[graft] def symmetrized(edges: DataFrame,
+      relayout: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    import CheckpointBridge.localCheckpointLeanStats
+    val raw = localCheckpointLeanStats(edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(
+        edges.select(col("dst").cast("long").as("a"),
+          col("src").cast("long").as("b")))
+      .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
+    val doLayout = relayout.getOrElse(
+      CheckpointBridge.checkpointNumPartitions(raw)
+        .exists(_ >= RelayoutMinPartitions))
+    if (!doLayout) raw
+    else {
+      val np = edges.sparkSession.sessionState.conf.numShufflePartitions
+      val laid = localCheckpointLeanStats(raw
+        .repartition(np, col("b"))
+        .sortWithinPartitions(col("b")), StorageLevel.MEMORY_AND_DISK_SER)
+      // materialize the laid-out copy now so the raw blocks (its only
+      // input) can be freed immediately — the two copies coexist only
+      // for this one pass
+      laid.count()
+      CheckpointBridge.unpersistLocalCheckpoint(raw)
+      laid
+    }
+  }
+
   /** As [[run]], additionally returning the number of rounds executed —
     * per-call observability for capacity math (the loop's shuffle count is
     * rounds × per-round stages) that is safe under concurrent runs.
@@ -123,13 +193,7 @@ object ConnectedComponents {
     // (same blow-up on 1k rows — tools/CcPlanProbe; regression-specced
     // structurally in EvalGraphSpec via carriedSizeInBytes).
     import org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointLeanStats
-    val sym = localCheckpointLeanStats(edges
-      .select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(
-        edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
-      .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
+    val sym = symmetrized(edges)
 
     // lazy like `sym`: round 1's convergence count materializes both in
     // its own job (persisted blocks cache on first compute, so the

@@ -57,17 +57,76 @@ object CheckpointBridge {
     * keep the richer default wrapper. */
   def localCheckpointLeanStats(df: Dataset[_],
       storageLevel: StorageLevel): DataFrame = {
-    val ckpt = df.toDF().localCheckpoint(eager = false, storageLevel)
+    val pre = df.toDF()
+    val ckpt = pre.localCheckpoint(eager = false, storageLevel)
     ckpt.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val session = ckpt.sparkSession
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val lean = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
-          lr.outputOrdering, lr.isStreaming, lr.stream)(session, None, None)
+        val (part, ord) = recoveredLayout(pre, lr)
+        val lean = LogicalRDD(lr.output, lr.rdd, part, ord,
+          lr.isStreaming, lr.stream)(session, None, None)
         org.apache.spark.sql.classic.Dataset.ofRows(session, lean)
       case _ => ckpt
     }
   }
+
+  /** The checkpointed data's physical layout (partitioning + intra-
+    * partition ordering), recovered from the FINAL adaptive plan.
+    *
+    * Under AQE, `Dataset.localCheckpoint` captures the layout from
+    * [[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]],
+    * which never overrides `outputPartitioning`/`outputOrdering` — the
+    * `LeafExecNode` defaults are `UnknownPartitioning`/`Nil` — so every
+    * checkpoint taken with AQE on silently loses its layout and every
+    * downstream join/sort against it re-exchanges and re-sorts data that
+    * is already placed. The checkpoint call just materialized the
+    * adaptive plan's stages, so the final physical plan is sitting on the
+    * origin Dataset's QueryExecution; read the layout off it, exactly as
+    * `LogicalRDD.fromDataset` does for the non-AQE path (including its
+    * first-leaf normalization of join `PartitioningCollection`s, and its
+    * assumption that the physical output exprIds match the logical
+    * output's — an exprId mismatch only yields a partitioning no
+    * requirement matches, i.e. a missed elision, never a wrong plan).
+    * The partition-count guard keeps the declaration honest: if the
+    * declared partitioning doesn't match the checkpointed RDD's actual
+    * partition count, fall back to what the default capture said. */
+  private def recoveredLayout(pre: DataFrame, lr: LogicalRDD)
+      : (org.apache.spark.sql.catalyst.plans.physical.Partitioning,
+         Seq[org.apache.spark.sql.catalyst.expressions.SortOrder]) = {
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      Partitioning, PartitioningCollection}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPhys = pre.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    @annotation.tailrec
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case o => o
+    }
+    val part = firstLeaf(finalPhys.outputPartitioning) match {
+      case p if p.numPartitions == lr.rdd.getNumPartitions => p
+      case _ => lr.outputPartitioning
+    }
+    val ord =
+      if (finalPhys.outputOrdering.nonEmpty) finalPhys.outputOrdering
+      else lr.outputOrdering
+    (part, ord)
+  }
+
+  /** The actual partition count of a checkpointed Dataset's underlying
+    * RDD (None when not a checkpoint wrapper) — fixed once AQE has
+    * finalized the checkpointed plan, so reading it costs nothing. After
+    * AQE's advisory-size coalescing this doubles as a free data-volume
+    * signal (≈ bytes / 64 MB), which the CC loop uses to gate its
+    * edge-table relayout. */
+  def checkpointNumPartitions(df: Dataset[_]): Option[Int] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => Some(lr.rdd.getNumPartitions)
+      case _ => None
+    }
 
   /** The origin `sizeInBytes` a checkpointed Dataset's wrapper carries
     * (None when lean / not a checkpoint wrapper) — lets specs assert the

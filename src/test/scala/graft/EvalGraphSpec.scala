@@ -371,6 +371,74 @@ class EvalGraphSpec extends AnyFunSuite {
       s"terminal CC state carries a compounded estimate (${carried.bitLength} bits)")
   }
 
+  test("CC propagation join reads the edge table exchange-free and sort-free") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // The per-round propagation join is the loop's dominant data movement:
+    // the symmetrized edge table is edges-sized and IMMUTABLE, so its
+    // exchange+sort belong in setup, not in every one of ~log₂(diameter)
+    // rounds. symmetrized() checkpoints it hash-partitioned and sorted on
+    // the join column `b`, and LogicalRDD carries that layout through the
+    // checkpoint. This spec pins (a) the captured layout and (b) the join
+    // planning against it: the planner inserts exactly one exchange and
+    // one sort — both on the LABEL side.
+    val edges = spark.range(0, 500, 1, 7)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    // the relayout is GATED on data volume: a toy graph coalesces to a
+    // handful of partitions and must keep AQE's small-stage plans (the
+    // ungated form doubled kg10/kg21 at sf0.1 — every round ran
+    // shuffle-partitions-many tasks on ~1k-row frames), while a
+    // data-dominated run must take the layout. Pin the auto gate's small
+    // side, then force the layout for the structural assertions below.
+    val auto = ConnectedComponents.symmetrized(edges)
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    assert(CheckpointBridge.checkpointNumPartitions(auto)
+      .exists(_ < ConnectedComponents.RelayoutMinPartitions),
+      "fixture unexpectedly large — auto-gate small side not exercised")
+    auto.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        assert(!lr.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] ||
+          !lr.outputPartitioning.asInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+            .expressions.map(_.toString).mkString.startsWith("b#"),
+          "small graph took the relayout — the gate is broken")
+      case _ => ()
+    }
+    CheckpointBridge.unpersistLocalCheckpoint(auto)
+    val sym = ConnectedComponents.symmetrized(edges, relayout = Some(true))
+    sym.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        lr.outputPartitioning match {
+          case hp: HashPartitioning =>
+            assert(hp.expressions.map(_.toString).mkString.startsWith("b#"),
+              s"partitioned on ${hp.expressions}, want b")
+          case other => fail(s"captured partitioning not hash-on-b: $other")
+        }
+        assert(lr.outputOrdering.nonEmpty &&
+          lr.outputOrdering.head.child.toString.startsWith("b#"),
+          s"captured ordering: ${lr.outputOrdering}")
+      case other => fail(s"not a checkpoint wrapper: ${other.getClass}")
+    }
+    // propagation-shaped join against a label table with no useful layout:
+    // with broadcast off the planner must sort-merge, and the only
+    // exchange+sort it may insert are on the label side
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val labels = spark.range(0, 501, 1, 5)
+        .select(col("id").as("b"), (col("id") % 7L).as("component"))
+      val joined = sym.join(labels, "b")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val sorts = "Sort \\[".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange (label side only):\n$plan")
+      assert(sorts == 1, s"expected 1 sort (label side only):\n$plan")
+      // and the layout is consistent: the join still answers correctly
+      assert(joined.count() == 1000L) // 500 edges × 2 directions, all b matched
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("CC on names: dictionary keys never collide (distinct nodes stay distinct)") {
     import spark.implicits._
     // 5k disjoint string-keyed pairs across 16 partitions; any key
