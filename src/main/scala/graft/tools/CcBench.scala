@@ -318,12 +318,15 @@ object CcBench {
         .unpersistLocalCheckpoint(warm)
       drainStages(print = false)
       val e = spark.read.parquet(dir(nEdges))
+      // GRAFT_CC_HOPS probes the rounds-vs-per-round-cost tradeoff of
+      // multi-hop pointer compression without touching the ladder modes
+      val hops = sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(1)
       val t0 = System.nanoTime()
       val (labels, iters) = ConnectedComponents.runCounted(e, maxIter = 40,
         onRound = (iter, changed, secs) => {
           println(f"ROUND $iter%2d changed=$changed%,d wall=$secs%.1f s")
           drainStages(print = true)
-        })
+        }, hops = hops)
       val wall = (System.nanoTime() - t0) / 1e9
       val (nComp, nNodes, dig) = digest(labels)
       println(s"SINGLE $cores $nEdges $wall $iters $nComp $nNodes $dig")
