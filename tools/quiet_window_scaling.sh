@@ -14,14 +14,24 @@
 set -u
 cd "$(dirname "$0")/.."
 deadline=$(( $(date +%s) + 8*3600 ))
+streak=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
   out=$(sbt -batch "runMain graft.tools.HostCalibration" 2>/dev/null |
     grep -E "CALIB (alu|parquet)")
   alu=$(echo "$out" | grep "CALIB alu" | grep -oE "efficiency [0-9.]+" | awk '{print $2}')
   dec=$(echo "$out" | grep "CALIB parquet" | grep -oE "efficiency [0-9.]+" | awk '{print $2}')
-  echo "$(date -u +%H:%M:%SZ) alu=$alu decode=$dec"
-  if awk -v a="${alu:-0}" -v d="${dec:-0}" 'BEGIN{exit !(a>=0.82 && d>=0.80)}'; then
-    echo "$(date -u +%H:%M:%SZ) window idle - firing 20M ScalingBench"
+  echo "$(date -u +%H:%M:%SZ) alu=$alu decode=$dec streak=$streak"
+  # one clear probe is not enough: the first firing (2026-08-19 01:01Z)
+  # passed 0.908/0.820 and the window still degraded inside the
+  # 40-minute ladder — require the window to have HELD across two
+  # consecutive probes (~12 min apart) before spending it
+  if awk -v a="${alu:-0}" -v d="${dec:-0}" 'BEGIN{exit !(a>=0.85 && d>=0.82)}'; then
+    streak=$((streak + 1))
+  else
+    streak=0
+  fi
+  if [ "$streak" -ge 2 ]; then
+    echo "$(date -u +%H:%M:%SZ) window idle twice - firing 20M ScalingBench"
     rm -rf /dev/shm/graft-spark-local/* 2>/dev/null
     sbt -batch "runMain graft.ScalingBench 20000000"
     echo "$(date -u +%H:%M:%SZ) done - BENCH.md appended; commit it"
