@@ -355,10 +355,12 @@ object SparkEntry {
       // the DuckDB oracle is an exhaustive all-pairs compare, so the bucket
       // cap must exceed the largest exact-duplicate group in the testdata
       // (8 at sf0.1) by a wide margin — 1024 keeps memory bounded while
-      // making Spark-vs-oracle under-production impossible here
-      val pairs = Dedup.lshCandidatePairs(all, k = 32, bands = 16,
-        shingleN = 3, maxBucket = 1024)
-      Dedup.jaccardVerify(all, pairs, shingleN = 3, minJaccard = 0.8)
+      // making Spark-vs-oracle under-production impossible here.
+      // r8: the one-staged-text-pass composition (signature + shingle set
+      // in one projection; candidate-reduced verify) — same pair set and
+      // jaccard values as the candidates→verify chain it replaced
+      Dedup.nearDupPairsStaged(all, k = 32, bands = 16,
+        shingleN = 3, maxBucket = 1024, minJaccard = 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     }),
     // brute-force cosine top-k (TakeOrderedAndProject)

@@ -105,6 +105,21 @@ object ConnectedComponents {
       .select(col("name"), col("component"))
   }
 
+  /** Maximum post-AQE partition count of the symmetrized table at which
+    * [[runCounted]] solves the components in ONE single-task union-find
+    * job instead of the iterative loop. The same free data-volume signal
+    * as [[RelayoutMinPartitions]] (AQE coalesces the dedup exchange
+    * toward its ~64 MB advisory size, so ≤1 materialized partition ≈
+    * ≤64 MB of compressed edge pairs ≈ ≤4M sym rows): below it the loop's
+    * cost is ~rounds × fixed per-job latency — every round schedules a
+    * whole job to move a few thousand rows — while a path-halving
+    * union-find over one partition's rows finishes in milliseconds of
+    * executor CPU. Above it the iterative loop (pointer doubling,
+    * exchange-free edge side) remains the only shape that scales. Guide
+    * §1.2: choose the distributed algorithm by data volume, not a
+    * constant — the gate derives from measured bytes, never core count. */
+  private[graft] val SmallSolveMaxPartitions = 1
+
   /** Minimum post-AQE partition count of the raw symmetrized table at
     * which [[symmetrized]] re-lays it out for the propagation join. AQE
     * coalesces the dedup exchange toward its ~64 MB advisory size, so the
@@ -201,9 +216,22 @@ object ConnectedComponents {
     *                along the path. Leave at 1 unless the graph's ids
     *                correlate with its geometry.
     */
+  /** @param smallSolve force (Some(true)) or suppress (Some(false)) the
+    *                single-task union-find fast path; None (default)
+    *                auto-gates on the symmetrized table's materialized
+    *                partition count ([[SmallSolveMaxPartitions]]) — and
+    *                only when `maxIter` is at least the default 30, so a
+    *                caller asking for BOUNDED-round (possibly
+    *                unconverged) labels always gets the loop. At ≤64 MB
+    *                of sym rows the graph's diameter is ≤4M, where
+    *                pointer doubling converges in ≤ ~23 < 30 rounds, so
+    *                the fast path's fully-converged output equals the
+    *                loop's exactly (spec-asserted on chain/star/planted
+    *                shapes). */
   def runCounted(edges: DataFrame, maxIter: Int = 30,
       onRound: (Int, Long, Double) => Unit = (_, _, _) => (),
-      hops: Int = 1)
+      hops: Int = 1,
+      smallSolve: Option[Boolean] = None)
       : (DataFrame, Int) = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
     // ALL loop checkpoints use the LEAN wrapper (no originStats/
@@ -218,6 +246,33 @@ object ConnectedComponents {
     // structurally in EvalGraphSpec via carriedSizeInBytes).
     import org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointLeanStats
     val sym = symmetrized(edges)
+
+    // small-graph fast path: one single-task union-find job over the
+    // checkpointed sym rows replaces the whole round loop (the loop's
+    // per-round fixed job latency dominates completely at this size —
+    // measured r8: kg10/kg21/kg15/kg20/kg05 all spend most of their wall
+    // in loop-round scheduling at sf0.1)
+    val useSmall = smallSolve.getOrElse(
+      maxIter >= 30 &&
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .checkpointNumPartitions(sym)
+          .exists(_ <= SmallSolveMaxPartitions))
+    if (useSmall) {
+      val t0 = System.nanoTime()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val solved = sym.select(col("a"), col("b")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions(it => LocalUnionFind.solve(it))
+        .toDF("node", "component")
+      val labels = localCheckpointLeanStats(solved,
+        StorageLevel.MEMORY_AND_DISK_SER)
+      labels.count()
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistLocalCheckpoint(sym)
+      onRound(1, 0L, (System.nanoTime() - t0) / 1e9)
+      return (labels, 1)
+    }
 
     // lazy like `sym`: round 1's convergence count materializes both in
     // its own job (persisted blocks cache on first compute, so the

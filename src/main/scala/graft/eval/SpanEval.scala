@@ -210,31 +210,50 @@ object SpanEval {
     // scenario → per-regime (correct, incorrect, partial) contribution
     def n(s: String): Column =
       sum(when(col("scenario") === s, col("n")).otherwise(0L))
-    val perType = sc.groupBy(col("eType")).agg(
+    // r8 (guide §2.4): ONE rollup aggregation replaces the former
+    // perType-groupBy ∪ ALL-groupBy pair — the grand-total row IS the
+    // "ALL" row (identical integer sums over the identical input rows),
+    // distinguished by grouping() so a literal "ALL" eType could never
+    // be confused with the total. The former union also DUPLICATED the
+    // whole scan+aggregate subtree per branch (and ×4 again through the
+    // regime union below): kg12/kg13 planned 28 Exchanges, kg14 84.
+    val base = sc.rollup(col("eType")).agg(
+      grouping(col("eType")).as("_g"),
       n("I").as("cI"), n("IV").as("cIV"), n("V").as("cV"), n("VI").as("cVI"),
       n("II").as("spurious"), n("III").as("missed"))
-    val all = sc.withColumn("eType", lit("ALL"))
-      .groupBy(col("eType")).agg(
-        n("I").as("cI"), n("IV").as("cIV"), n("V").as("cV"), n("VI").as("cVI"),
-        n("II").as("spurious"), n("III").as("missed"))
-    val base = perType.unionByName(all)
+      .select(
+        when(col("_g") === 1, lit("ALL")).otherwise(col("eType")).as("eType"),
+        col("cI"), col("cIV"), col("cV"), col("cVI"),
+        col("spurious"), col("missed"))
 
-    val regimeRows = Regimes.map { regime =>
-      val (correct, incorrect, partial) = regime match {
-        case "strict" =>
-          (col("cI"), col("cIV") + col("cV") + col("cVI"), lit(0L))
-        case "ent_type" =>
-          (col("cI") + col("cV"), col("cIV") + col("cVI"), lit(0L))
-        case "exact" =>
-          (col("cI") + col("cIV"), col("cV") + col("cVI"), lit(0L))
-        case "partial" =>
-          (col("cI") + col("cIV"), lit(0L), col("cV") + col("cVI"))
-      }
-      base.select(
-        col("eType"), lit(regime).as("regime"),
-        correct.as("correct"), incorrect.as("incorrect"),
-        partial.as("partial"), col("missed"), col("spurious"))
-    }.reduce(_ unionByName _)
+    // the 4 regimes as ONE generator over the aggregated rows (explode of
+    // a 4-struct array) instead of a 4-branch union that re-evaluated the
+    // aggregation per regime. Field arithmetic is unchanged: identical
+    // long additions on identical values, row for row.
+    val regimeStructs = array(
+      struct(lit("strict").as("regime"),
+        col("cI").as("correct"),
+        (col("cIV") + col("cV") + col("cVI")).as("incorrect"),
+        lit(0L).as("partial")),
+      struct(lit("ent_type").as("regime"),
+        (col("cI") + col("cV")).as("correct"),
+        (col("cIV") + col("cVI")).as("incorrect"),
+        lit(0L).as("partial")),
+      struct(lit("exact").as("regime"),
+        (col("cI") + col("cIV")).as("correct"),
+        (col("cV") + col("cVI")).as("incorrect"),
+        lit(0L).as("partial")),
+      struct(lit("partial").as("regime"),
+        (col("cI") + col("cIV")).as("correct"),
+        lit(0L).as("incorrect"),
+        (col("cV") + col("cVI")).as("partial")))
+    val regimeRows = base
+      .select(col("eType"), col("missed"), col("spurious"),
+        explode(regimeStructs).as("_r"))
+      .select(
+        col("eType"), col("_r.regime").as("regime"),
+        col("_r.correct").as("correct"), col("_r.incorrect").as("incorrect"),
+        col("_r.partial").as("partial"), col("missed"), col("spurious"))
 
     val counted = regimeRows
       .withColumn("actual",

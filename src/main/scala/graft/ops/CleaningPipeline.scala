@@ -398,9 +398,19 @@ object CleaningPipeline {
     val manifestDir = s"$stageDir/_manifest"
 
     var t0 = System.nanoTime()
-    def record(stage: Int, dir: String): Unit = {
+    // r8 (guide §1.4/§5): the manifest row count is OBSERVED on the
+    // stage's own write job (`Dataset.observe` — metrics accumulate
+    // during the write) instead of re-reading the freshly written
+    // parquet. The former read-back count was one extra job per stage —
+    // and for stage 0 a full scan of the corpus-sized staged artifact
+    // just to count its rows.
+    def observed(stage: Int, df: DataFrame): (DataFrame, () => Long) = {
+      val obs = org.apache.spark.sql.Observation(s"stage$stage rows")
+      (df.observe(obs, count(lit(1)).as("rows")),
+        () => obs.get("rows").asInstanceOf[Long])
+    }
+    def record(stage: Int, rows: Long): Unit = {
       import spark.implicits._
-      val rows = spark.read.parquet(dir).count()
       Seq((stage, rows, (System.nanoTime() - t0) / 1000000L))
         .toDF("stage", "rows", "wall_ms")
         .write.mode(SaveMode.Append).parquet(manifestDir)
@@ -411,13 +421,14 @@ object CleaningPipeline {
     // count as its own tiny column so stage 3's sub-shingle gate never
     // has to decode the heavy `sh` array just to take its size.
     if (!hasSuccess(stagedDir)) {
-      docs.select(
+      val (df0, rows0) = observed(0, docs.select(
           Seq(col("doc_id")) ++ stagedKeep.map(col) ++ Seq(
             md5(col("text").cast("binary")).as("_h"),
             Dedup.hashShingles(
               Dedup.distinctShingles(col("text"), shingleN)).as("sh"),
             Dedup.minhashSignature(col("text"), k, shingleN).as("sig")): _*)
-        .withColumn("nsh", size(col("sh")))
+        .withColumn("nsh", size(col("sh"))))
+      df0
         // the staged table's codec is DELIBERATELY not pinned: an
         // un-optioned parquet write follows the session's standard
         // `spark.sql.parquet.compression.codec` (default snappy), so a
@@ -431,7 +442,7 @@ object CleaningPipeline {
         // intra-job artifact; the long-lived CORPUS is where the
         // round-5 zstd-at-rest recommendation applies.
         .write.mode(SaveMode.Overwrite).parquet(stagedDir)
-      record(0, stagedDir)
+      record(0, rows0())
     }
     def staged = spark.read.parquet(stagedDir)
     // stage dirs staged before the nsh column existed resume fine — the
@@ -454,12 +465,13 @@ object CleaningPipeline {
     // stage 1 — decontamination flags over the staged shingle sets
     t0 = System.nanoTime()
     if (!hasSuccess(flaggedDir)) {
-      Decontaminate.contaminationReportOnShingles(
-          staged.select(col("doc_id"), col("sh")), bench, shingleN,
-          minOverlap, minRatio, broadcastBench)
-        .select(col("doc_id")).distinct()
-        .write.mode(SaveMode.Overwrite).parquet(flaggedDir)
-      record(1, flaggedDir)
+      val (df1, rows1) = observed(1,
+        Decontaminate.contaminationReportOnShingles(
+            staged.select(col("doc_id"), col("sh")), bench, shingleN,
+            minOverlap, minRatio, broadcastBench)
+          .select(col("doc_id")).distinct())
+      df1.write.mode(SaveMode.Overwrite).parquet(flaggedDir)
+      record(1, rows1())
     }
     def flagged = spark.read.parquet(flaggedDir)
     if (upTo < 2) return None
@@ -467,14 +479,15 @@ object CleaningPipeline {
     // stage 2 — exact-duplicate drops (digest-keyed window, hash+id only)
     t0 = System.nanoTime()
     if (!hasSuccess(exactDir)) {
-      staged.select(col("doc_id"), col("_h"))
-        .join(flagged, Seq("doc_id"), "left_anti")
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
-        .where(col("_rn") > 1)
-        .select(col("doc_id"))
-        .write.mode(SaveMode.Overwrite).parquet(exactDir)
-      record(2, exactDir)
+      val (df2, rows2) = observed(2,
+        staged.select(col("doc_id"), col("_h"))
+          .join(flagged, Seq("doc_id"), "left_anti")
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("_h")).orderBy(col("doc_id"))))
+          .where(col("_rn") > 1)
+          .select(col("doc_id")))
+      df2.write.mode(SaveMode.Overwrite).parquet(exactDir)
+      record(2, rows2())
     }
     def exactDrops = spark.read.parquet(exactDir)
     if (upTo < 3) return None
@@ -499,17 +512,21 @@ object CleaningPipeline {
       // reduction is checkpointed too, so the heavy at-rest `sh` column
       // is scanned ONCE here instead of once per verify join side —
       // at 20M docs that is ~9.5 GB of core-invariant disk read saved.
+      // lazy checkpoints (r8): the broadcast-gate count materializes the
+      // candidate frame (and the staged scan feeding it) in its one job;
+      // the reduced frame materializes under the verify/CC job — the
+      // former eager checkpoints each spent a dedicated job first
       val cand = Dedup.candidatePairsFromBanded(
           Dedup.bandRowsFromSigs(sigs, k, bands), maxBucket)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val reduced = Dedup.reduceShingleSetsToPairs(
           staged.select(col("doc_id"), col("sh")), cand,
           broadcastIds = 2 * cand.count() <= Dedup.BroadcastIdsGuidance)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val pairs = Dedup.jaccardVerifyOnShingles(reduced, cand, minJaccard)
-      Dedup.nearDupDropIds(pairs)
-        .write.mode(SaveMode.Overwrite).parquet(nearDir)
-      record(3, nearDir)
+      val (df3, rows3) = observed(3, Dedup.nearDupDropIds(pairs))
+      df3.write.mode(SaveMode.Overwrite).parquet(nearDir)
+      record(3, rows3())
     }
     def nearDrops = spark.read.parquet(nearDir)
     def survivorIds(cols: Seq[String]) =

@@ -342,6 +342,55 @@ object Dedup {
     shingleSets.join(hinted, Seq("doc_id"), "left_semi")
   }
 
+  /** Verified near-dup pairs `(id1, id2, jaccard)` over ONE staged text
+    * pass — the composed candidate→verify chain of [[nearDupGroups]] /
+    * [[nearDupDedup]] in the cleaning pipeline's shape
+    * ([[CleaningPipeline.cleanedMeta]], stage 3): per-document content
+    * signature AND distinct hashed shingle set are computed in a single
+    * codegen'd projection and checkpointed, banding reads only `sig`,
+    * and verification reads the `sh` column semi-join-REDUCED to the
+    * candidate population.
+    *
+    * Why (guide §8 / §2.3): the previous composition re-derived its
+    * per-document features from `text` three times — the MinHash pass in
+    * [[bandedSignatures]] plus one shingle pass per side of
+    * [[jaccardVerify]]'s double join — so at corpus scale the dominant
+    * cost (the text scan + shingle expression) was paid 3×, and the two
+    * verify joins exchanged corpus-sized shingle arrays. Here text is
+    * read once; everything downstream exchanges ids, signatures, and
+    * candidate-bounded shingle sets. Shingle sets ride at rest in the
+    * hashed representation ([[hashShingles]] — cardinality arithmetic,
+    * hence Jaccard, is preserved; see its pairwise collision bound), the
+    * same representation the oracle-green kg19 chain stages.
+    *
+    * All checkpoints are lazy: the broadcast-gate count materializes
+    * staged+candidates in one job, and the reduced frame materializes
+    * under its first consumer — no dedicated materialization jobs. */
+  def nearDupPairsStaged(
+      docs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.8
+  ): DataFrame = {
+    val staged = docs
+      .where(size(split(col("text"), " ")) >= shingleN)
+      .select(col("doc_id"),
+        hashShingles(distinctShingles(col("text"), shingleN)).as("sh"),
+        minhashSignature(col("text"), k, shingleN).as("sig"))
+      .localCheckpoint(eager = false)
+    val cand = candidatePairsFromBanded(
+        bandRowsFromSigs(staged.select(col("doc_id"), col("sig")), k, bands),
+        maxBucket)
+      .localCheckpoint(eager = false)
+    val reduced = reduceShingleSetsToPairs(
+        staged.select(col("doc_id"), col("sh")), cand,
+        broadcastIds = 2 * cand.count() <= BroadcastIdsGuidance)
+      .localCheckpoint(eager = false)
+    jaccardVerifyOnShingles(reduced, cand, minJaccard)
+  }
+
   // ---- near-dup clusters (pairs → components → representative) --------
 
   /** Cluster membership from verified near-dup pairs: connected components
@@ -379,12 +428,9 @@ object Dedup {
       shingleN: Int = 3,
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
-  ): DataFrame = {
-    val pairs = jaccardVerify(docs,
-      lshCandidatePairs(docs, k, bands, shingleN, maxBucket),
-      shingleN, minJaccard)
-    clustersFromPairs(pairs)
-  }
+  ): DataFrame =
+    clustersFromPairs(
+      nearDupPairsStaged(docs, k, bands, shingleN, maxBucket, minJaccard))
 
   /** Drop-ids (clustered non-representatives) from verified near-dup
     * pairs — the lean path for TRANSFORM consumers. [[clustersFromPairs]]
@@ -411,12 +457,11 @@ object Dedup {
       shingleN: Int = 3,
       maxBucket: Int = 64,
       minJaccard: Double = 0.8
-  ): DataFrame = {
-    val pairs = jaccardVerify(docs,
-      lshCandidatePairs(docs, k, bands, shingleN, maxBucket),
-      shingleN, minJaccard)
-    docs.join(nearDupDropIds(pairs), Seq("doc_id"), "left_anti")
-  }
+  ): DataFrame =
+    docs.join(
+      nearDupDropIds(
+        nearDupPairsStaged(docs, k, bands, shingleN, maxBucket, minJaccard)),
+      Seq("doc_id"), "left_anti")
 
   // ---- SimHash ---------------------------------------------------------
 

@@ -275,10 +275,15 @@ object SignatureStore {
     // batch-side keys and shingles: batch-sized, computed ONCE (the
     // native MinHashSig expression is the dominant per-row cost — the
     // checkpointed keys feed both the prefix collect and the unified
-    // pair stage below)
+    // pair stage below). Lazy (r8): the watermark agg and the prefix
+    // collect below are each frame's first action and materialize it in
+    // that job — the former eager checkpoints spent a dedicated job each
+    // before any consumer ran; every later consumer reads the same
+    // cached blocks either way (consumers are strictly sequential here).
     val bKeys = Dedup.bandedSignatures(b, k, bands, shingleN)
-      .localCheckpoint()
-    val bSh = Dedup.distinctShingleHashSets(b, shingleN).localCheckpoint()
+      .localCheckpoint(eager = false)
+    val bSh = Dedup.distinctShingleHashSets(b, shingleN)
+      .localCheckpoint(eager = false)
 
     // monotone-ingest guard, off the checkpointed batch-sized table (no
     // extra lineage run): a batch id at or below the stored watermark
@@ -336,7 +341,7 @@ object SignatureStore {
         lit(1).as("_n2"))), Seq("id2"), "left")
       .where(col("_n1").isNotNull || col("_n2").isNotNull)
       .select(col("id1"), col("id2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // 4. old shingle sets for exactly the colliding docs: prune the
     //    shingle partitions by the colliding ids' prefixes, then
@@ -344,7 +349,7 @@ object SignatureStore {
     val oldIds = pairs.select(col("id1").as("doc_id"))
       .unionByName(pairs.select(col("id2").as("doc_id")))
       .join(bSh.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     val docPfx = oldIds.select(
         pmod(col("doc_id"), lit(m.nPrefixes.toLong)).as("p"))
       .distinct().collect().map(_.getLong(0))

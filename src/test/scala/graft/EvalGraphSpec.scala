@@ -285,7 +285,11 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(perRow3 > perRow2, s"calibration degenerate: $perRow3 vs $perRow2")
 
     val beforeIds = sc.getRDDStorageInfo.map(_.id).toSet
-    val (labels, rounds) = ConnectedComponents.runCounted(edges)
+    // pin the ITERATIVE loop (this spec asserts the loop's per-round
+    // payload discipline; the auto gate would take the small-graph
+    // union-find here and trivialize it)
+    val (labels, rounds) =
+      ConnectedComponents.runCounted(edges, smallSolve = Some(false))
     // the loop frees checkpoints with unpersist(blocking = false) — POLL
     // until the residual drops under the bound (or a generous timeout on
     // a loaded host) instead of a fixed sleep: a slow async unpersist
@@ -363,7 +367,8 @@ class EvalGraphSpec extends AnyFunSuite {
     // after the chain's ~6 rounds)
     import spark.implicits._
     val chain = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val (labels, rounds) = ConnectedComponents.runCounted(chain.toDF("src", "dst"))
+    val (labels, rounds) = ConnectedComponents.runCounted(
+      chain.toDF("src", "dst"), smallSolve = Some(false))
     assert(rounds >= 4, s"fixture too shallow: $rounds")
     val carried = CheckpointBridge.carriedSizeInBytes(labels)
       .getOrElse(fail("terminal state not checkpoint-wrapped"))
@@ -448,10 +453,12 @@ class EvalGraphSpec extends AnyFunSuite {
     val edges = ((0L until 32L).sliding(2).map(s => (s(0), s(1))).toSeq ++
       Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L)))
       .toDF("src", "dst")
-    val base = ConnectedComponents.runCounted(edges)._1
+    val base = ConnectedComponents.runCounted(edges,
+      smallSolve = Some(false))._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Seq(2, 3).foreach { h =>
-      val (got, rounds) = ConnectedComponents.runCounted(edges, hops = h)
+      val (got, rounds) = ConnectedComponents.runCounted(edges, hops = h,
+        smallSolve = Some(false))
       assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         == base, s"hops=$h diverged")
       assert(rounds >= 1)
@@ -483,5 +490,63 @@ class EvalGraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
     assert(comps == Set(Set("a", "b", "c", "d"), Set("x", "y")))
+  }
+
+  // --- small-graph union-find fast path (r8 optimization) ---
+
+  test("CC small solve ≡ iterative loop on mixed graph shapes") {
+    import spark.implicits._
+    // deep chain (pointer compression territory) + star + triangle with a
+    // redundant edge + isolated pair + duplicate/reversed input edges —
+    // the shapes the analytic queries produce. The auto gate takes the
+    // single-task union-find here (the graph coalesces to 1 partition);
+    // the forced loop is the reference.
+    val edges = ((0L until 33L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L),
+        (200L, 201L), (201L, 202L), (200L, 202L), (202L, 200L),
+        (300L, 301L), (301L, 300L))).toDF("src", "dst")
+    val (fast, fastRounds) = ConnectedComponents.runCounted(edges)
+    val (loop, loopRounds) =
+      ConnectedComponents.runCounted(edges, smallSolve = Some(false))
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = loop.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f == l, s"fast path diverged from the loop")
+    // evidence each side actually ran: the gate fired (one "round"), the
+    // forced loop iterated the 33-chain
+    assert(fastRounds == 1, s"auto gate did not take the fast path: $fastRounds")
+    assert(loopRounds > 1, s"forced loop did not iterate: $loopRounds")
+  }
+
+  test("CC small solve respects bounded maxIter by falling back to the loop") {
+    import spark.implicits._
+    // a caller bounding rounds asks for the loop's (possibly unconverged)
+    // labels — the fast path must not fire below the default cap
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("src", "dst")
+    val (bounded, rounds) = ConnectedComponents.runCounted(chain, maxIter = 2)
+    assert(rounds == 2)
+    // 2 rounds of propagate+compress cannot finish a 40-chain: some label
+    // must still be non-minimal — proof the loop (not the solver) ran
+    assert(bounded.where(col("component") =!= 0L).count() > 0)
+  }
+
+  test("LocalUnionFind: min-label components, rehash growth, determinism") {
+    // exercise the open-addressed map across its rehash threshold
+    val m = 5000
+    val edges = (0 until m).flatMap { i =>
+      val a = 10L * i
+      Seq((a, a + 5L), (a + 5L, a + 7L))
+    } ++ Seq((3L, 70003L)) // one long-range merge
+    val out = graft.canon.LocalUnionFind.solve(edges.iterator).toMap
+    // 3 generated nodes per i, plus the {3, 70003} pair (neither id is of
+    // the generated 10i/10i+5/10i+7 forms)
+    assert(out.size == 3 * m + 2)
+    // spot components: {0,5,7}, {10,15,17}, ... min label is the rep
+    assert(out(0L) == 0L && out(5L) == 0L && out(7L) == 0L)
+    assert(out(10L) == 10L && out(17L) == 10L)
+    assert(out(3L) == 3L && out(70003L) == 3L)
+    // determinism across input orderings
+    val out2 = graft.canon.LocalUnionFind.solve(edges.reverse.iterator).toMap
+    assert(out2 == out)
   }
 }
