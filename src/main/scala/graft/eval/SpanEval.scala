@@ -206,7 +206,16 @@ object SpanEval {
     * table `(url, eType, n, scenario)` — shared by the NERC report above
     * and the NEL report ([[NelEval.report]]), which differ only in how the
     * scenarios are produced (flat entities vs link-alternative unions). */
-  private[graft] def reportFromScenarios(sc: DataFrame): DataFrame = {
+  private[graft] def reportFromScenarios(sc: DataFrame): DataFrame =
+    reportCore(sc, Nil)
+
+  /** The report assembly, optionally grouped by extra slice columns —
+    * `sliceCols = Nil` is the plain report; [[slicedAssembly]] passes
+    * `Seq("slice")` so ALL slices assemble in ONE aggregation pass
+    * instead of one report (scan + aggregation + macro join) per slice.
+    * Slice columns ride through every stage and append to the output. */
+  private def reportCore(sc: DataFrame, sliceCols: Seq[String]): DataFrame = {
+    val slice = sliceCols.map(col)
     // scenario → per-regime (correct, incorrect, partial) contribution
     def n(s: String): Column =
       sum(when(col("scenario") === s, col("n")).otherwise(0L))
@@ -217,14 +226,21 @@ object SpanEval {
     // be confused with the total. The former union also DUPLICATED the
     // whole scan+aggregate subtree per branch (and ×4 again through the
     // regime union below): kg12/kg13 planned 28 Exchanges, kg14 84.
-    val base = sc.rollup(col("eType")).agg(
-      grouping(col("eType")).as("_g"),
-      n("I").as("cI"), n("IV").as("cIV"), n("V").as("cV"), n("VI").as("cVI"),
-      n("II").as("spurious"), n("III").as("missed"))
-      .select(
+    // With slice columns the rollup's coarser grouping-set rows (slice
+    // columns aggregated away) are dropped via their grouping() flags.
+    val base = sliceCols
+      .foldLeft(
+        sc.rollup(slice :+ col("eType"): _*).agg(
+          grouping(col("eType")).as("_g"),
+          (sliceCols.map(c => grouping(col(c)).as(s"_g_$c")) ++ Seq(
+            n("I").as("cI"), n("IV").as("cIV"), n("V").as("cV"),
+            n("VI").as("cVI"),
+            n("II").as("spurious"), n("III").as("missed"))): _*)
+      )((df, c) => df.where(col(s"_g_$c") === 0))
+      .select(slice ++ Seq(
         when(col("_g") === 1, lit("ALL")).otherwise(col("eType")).as("eType"),
         col("cI"), col("cIV"), col("cV"), col("cVI"),
-        col("spurious"), col("missed"))
+        col("spurious"), col("missed")): _*)
 
     // the 4 regimes as ONE generator over the aggregated rows (explode of
     // a 4-struct array) instead of a 4-branch union that re-evaluated the
@@ -248,12 +264,13 @@ object SpanEval {
         lit(0L).as("incorrect"),
         (col("cV") + col("cVI")).as("partial")))
     val regimeRows = base
-      .select(col("eType"), col("missed"), col("spurious"),
-        explode(regimeStructs).as("_r"))
-      .select(
+      .select(slice ++ Seq(col("eType"), col("missed"), col("spurious"),
+        explode(regimeStructs).as("_r")): _*)
+      .select(slice ++ Seq(
         col("eType"), col("_r.regime").as("regime"),
         col("_r.correct").as("correct"), col("_r.incorrect").as("incorrect"),
-        col("_r.partial").as("partial"), col("missed"), col("spurious"))
+        col("_r.partial").as("partial"), col("missed"),
+        col("spurious")): _*)
 
     val counted = regimeRows
       .withColumn("actual",
@@ -288,25 +305,26 @@ object SpanEval {
       aggregate(xs, lit(0.0), (acc, x) => acc + x.getField(field)) /
         size(xs)
     val macros = withMicro.where(col("eType") =!= "ALL")
-      .groupBy(col("regime"))
+      .groupBy(slice :+ col("regime"): _*)
       .agg(sort_array(collect_list(struct(col("eType"), col("p_micro"),
         col("r_micro"), col("f1_micro")))).as("xs"))
-      .select(col("regime"),
+      .select(slice ++ Seq(col("regime"),
         foldMean(col("xs"), "p_micro").as("p_macro"),
         foldMean(col("xs"), "r_micro").as("r_macro"),
-        foldMean(col("xs"), "f1_micro").as("f1_macro"))
-    withMicro.join(macros, Seq("regime"), "left")
+        foldMean(col("xs"), "f1_micro").as("f1_macro")): _*)
+    withMicro.join(macros, sliceCols :+ "regime", "left")
       .withColumn("p_macro",
         when(col("eType") === "ALL", col("p_macro")))
       .withColumn("r_macro",
         when(col("eType") === "ALL", col("r_macro")))
       .withColumn("f1_macro",
         when(col("eType") === "ALL", col("f1_macro")))
-      .select(col("eType"), col("regime"), col("correct"), col("incorrect"),
+      .select(Seq(col("eType"), col("regime"), col("correct"),
+        col("incorrect"),
         col("partial"), col("missed"), col("spurious"), col("possible"),
         col("actual"), col("tp"), col("fp"), col("fn"),
         col("p_micro"), col("r_micro"), col("f1_micro"),
-        col("p_macro"), col("r_macro"), col("f1_macro"))
+        col("p_macro"), col("r_macro"), col("f1_macro")) ++ slice: _*)
   }
 
   /** Macro-over-documents scores (`accumulate_doc_scores`,
@@ -499,14 +517,21 @@ object SpanEval {
     // instead of an isEmpty job per slice
     val present = scan.select(col("slice")).distinct()
       .collect().map(_.getString(0)).toSet
-    names.map { name =>
-      val rows =
-        if (present(name)) scan.where(col("slice") === name).drop("slice")
-        else Seq(("", "__none__", 0L, "I")).toDF("url", "eType", "n", "scenario")
-      reportFromScenarios(rows)
-        .where(col("eType") =!= "__none__")
-        .withColumn("slice", lit(name))
-    }.reduce(_ unionByName _)
+    // r8 (guide §2.4): ONE slice-grouped report assembly over all slices
+    // replaces the former per-slice report ∪ report ∪ … — each branch
+    // re-planned the scan, its rollup, and its macro join (84 Exchanges
+    // in kg14's plan). Absent slices are padded with the same synthetic
+    // `__none__` row the per-slice form used, so their 4 all-zero "ALL"
+    // regime rows (and 0.0 macros) come out identically.
+    val absent = names.filterNot(present)
+    val named = scan.where(col("slice").isin(names.map(lit(_)): _*))
+    val padded =
+      if (absent.isEmpty) named
+      else named.unionByName(
+        absent.map(n => ("", "__none__", 0L, "I", n))
+          .toDF("url", "eType", "n", "scenario", "slice"))
+    reportCore(padded, Seq("slice"))
+      .where(col("eType") =!= "__none__")
   }
 
   /** Token-level TIME slice predicates (`filter_entities_by_date`:

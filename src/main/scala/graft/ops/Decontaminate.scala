@@ -152,8 +152,12 @@ object Decontaminate {
       minRatio: Double = 0.0,
       broadcastBench: Boolean = true
   ): DataFrame =
+    // r8: anti-join directly on the report's ids — left_anti ignores
+    // duplicate right-side keys, so [[contaminatedIds]]' distinct (one
+    // whole exchange+aggregate) is pure overhead on this path; the
+    // distinct stays in contaminatedIds itself, whose contract IS a set
     docs.join(
-      contaminatedIds(docs, bench, shingleN, minOverlap, minRatio,
-        broadcastBench),
+      contaminationReport(docs, bench, shingleN, minOverlap, minRatio,
+        broadcastBench).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 }
