@@ -134,6 +134,20 @@ object ConnectedComponents {
     * kg10/kg21 (many small per-year CC runs) doubling at sf0.1. */
   private[graft] val RelayoutMinPartitions = 4
 
+  /** The partition-count-as-volume signal is only meaningful when AQE's
+    * advisory-size coalescing actually ran (ADVICE r7): with
+    * `spark.sql.adaptive.enabled` or `…coalescePartitions.enabled` off,
+    * a toy graph's dedup exchange materializes at the full
+    * `spark.sql.shuffle.partitions` — the relayout gate would always
+    * fire (reintroducing the measured kg10/kg21 small-graph doubling)
+    * and the small-solve gate would never. Both gates therefore require
+    * the coalescing confs before trusting the count; without them the
+    * loop runs in its ungated shape — correct, just unoptimized. */
+  private def aqeCoalesceOn(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.sessionState.conf
+    conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled
+  }
+
   /** The loop's symmetrized, deduped edge table, checkpointed — and, at
     * data scale (auto-gated; see [[RelayoutMinPartitions]]), PHYSICALLY
     * LAID OUT for the per-round propagation join: hash-partitioned on the
@@ -165,8 +179,9 @@ object ConnectedComponents {
           col("src").cast("long").as("b")))
       .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
     val doLayout = relayout.getOrElse(
-      CheckpointBridge.checkpointNumPartitions(raw)
-        .exists(_ >= RelayoutMinPartitions))
+      aqeCoalesceOn(edges) &&
+        CheckpointBridge.checkpointNumPartitions(raw)
+          .exists(_ >= RelayoutMinPartitions))
     if (!doLayout) raw
     else {
       val np = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -253,7 +268,7 @@ object ConnectedComponents {
     // measured r8: kg10/kg21/kg15/kg20/kg05 all spend most of their wall
     // in loop-round scheduling at sf0.1)
     val useSmall = smallSolve.getOrElse(
-      maxIter >= 30 &&
+      maxIter >= 30 && aqeCoalesceOn(edges) &&
         org.apache.spark.sql.graftbridge.CheckpointBridge
           .checkpointNumPartitions(sym)
           .exists(_ <= SmallSolveMaxPartitions))

@@ -530,6 +530,38 @@ class EvalGraphSpec extends AnyFunSuite {
     assert(bounded.where(col("component") =!= 0L).count() > 0)
   }
 
+  test("CC gates distrust partition counts when AQE coalescing is off") {
+    import spark.implicits._
+    // with coalescing off, the checkpoint materializes at the full
+    // shuffle-partition count, so partition count is NOT a volume signal
+    // (ADVICE r7): the small-solve gate must fall back to the loop, and
+    // the relayout gate must not fire on a toy graph
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val chain = (0L until 16L).sliding(2).map(s => (s(0), s(1))).toSeq
+        .toDF("src", "dst")
+      val (labels, rounds) = ConnectedComponents.runCounted(chain)
+      assert(rounds > 1, "small-solve gate fired without AQE coalescing")
+      assert(labels.collect().forall(_.getLong(1) == 0L))
+      val sym = ConnectedComponents.symmetrized(chain)
+      sym.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.outputPartitioning match {
+            case hp: org.apache.spark.sql.catalyst.plans.physical
+                .HashPartitioning =>
+              assert(!hp.expressions.map(_.toString).mkString
+                .startsWith("b#"),
+                "relayout gate fired without AQE coalescing")
+            case _ => ()
+          }
+        case _ => ()
+      }
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .unpersistLocalCheckpoint(sym)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("LocalUnionFind: min-label components, rehash growth, determinism") {
     // exercise the open-addressed map across its rehash threshold
     val m = 5000

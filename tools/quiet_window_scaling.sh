@@ -13,9 +13,20 @@
 # Usage: nohup tools/quiet_window_scaling.sh > /tmp/quiet_scaling.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
+# the documented concurrency guard (ADVICE r7): every sbt invocation —
+# probe or firing run — holds an exclusive flock on target/.bench.lock,
+# so the watcher can never clobber /dev/shm or contend with a bench/test
+# sbt already running; a held lock skips the probe cycle instead
+mkdir -p target
+exec 9>target/.bench.lock
 deadline=$(( $(date +%s) + 8*3600 ))
 streak=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
+  if ! flock -n 9; then
+    echo "$(date -u +%H:%M:%SZ) bench lock held by another run - skipping probe"
+    sleep 700
+    continue
+  fi
   out=$(sbt -batch "runMain graft.tools.HostCalibration" 2>/dev/null |
     grep -E "CALIB (alu|parquet)")
   alu=$(echo "$out" | grep "CALIB alu" | grep -oE "efficiency [0-9.]+" | awk '{print $2}')
@@ -34,9 +45,11 @@ while [ "$(date +%s)" -lt "$deadline" ]; do
     echo "$(date -u +%H:%M:%SZ) window idle twice - firing 20M ScalingBench"
     rm -rf /dev/shm/graft-spark-local/* 2>/dev/null
     sbt -batch "runMain graft.ScalingBench 20000000"
+    flock -u 9
     echo "$(date -u +%H:%M:%SZ) done - BENCH.md appended; commit it"
     exit 0
   fi
+  flock -u 9
   sleep 700
 done
 echo "no idle window inside the deadline"
